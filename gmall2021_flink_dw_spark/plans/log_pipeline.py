@@ -1,0 +1,197 @@
+"""DWD/DWM log pipeline queries over the `events` table.
+
+The driver's `events` table (event_id, ts, user_id, event_type, value,
+props) plays the role of the reference's ODS app-log topic; these queries
+re-express BaseLogApp / UniqueVisitApp / UserJumpDetailApp (SURVEY §2.3
+P1/P3/P11, §2.10 W4/W7) as DataFrame plans with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall2021_flink_dw_spark.operators.cep import detect_jumps, mark_sessions
+from gmall2021_flink_dw_spark.operators.dedup import (
+    correct_new_user_flag,
+    first_visit_per_day,
+)
+from gmall2021_flink_dw_spark.operators.split import parse_props, split_by_type
+from gmall2021_flink_dw_spark.registry import register
+from gmall2021_flink_dw_spark.sources.batch import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "dwd_clean_events",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           epoch_us(ts) AS ts_us,
+           cast(json_extract_string(props, '$.k') as bigint) AS props_k,
+           cast(cast(value as decimal(18,2)) as double) AS value
+    FROM events
+    WHERE event_type <> 'error'
+      AND json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    doc="P1 dirty-split + P3 route: parse the JSON props payload "
+    "(BaseLogApp.java:37-48 as one vectorized from_json), drop the error "
+    "side stream, emit the typed clean DWD projection.",
+    tags=("dwd", "parse", "split"),
+)
+def dwd_clean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse_props(_events(spark, sf_dir))
+    clean = parsed.filter(
+        (F.col("event_type") != "error") & F.col("props_k").isNotNull()
+    )
+    return clean.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "props_k",
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value"),
+    )
+
+
+@register(
+    "dwd_event_split_counts",
+    oracle="""
+    SELECT CASE WHEN event_type = 'signup' THEN 'start'
+                WHEN event_type IN ('view','click','purchase') THEN 'page'
+                ELSE 'error' END AS stream,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+    doc="P3 side-output fan-out (BaseLogApp.java:84-121): one source scan "
+    "split into start/page/error streams by filter; per-stream cardinality.",
+    tags=("dwd", "split"),
+)
+def dwd_event_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    streams = split_by_type(_events(spark, sf_dir))
+    parts = [
+        df.groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .select(F.lit(name).alias("stream"), "n", "n_users")
+        for name, df in streams.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "dwm_unique_visit",
+    oracle="""
+    SELECT user_id, strftime(dt, '%Y-%m-%d') AS dt, event_id, epoch_us(ts) AS ts_us, event_type
+    FROM (
+      SELECT user_id, date_trunc('day', ts) AS dt, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="W4 daily unique-visit dedup (UniqueVisitApp.java:43-78): per-key "
+    "first event per day; ValueState+TTL becomes one row_number window.",
+    tags=("dwm", "dedup", "stateful"),
+)
+def dwm_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uv = first_visit_per_day(_events(spark, sf_dir))
+    return uv.select(
+        "user_id",
+        F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+
+
+@register(
+    "dwd_new_user_flag",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+                THEN '1' ELSE '0' END AS is_new
+    FROM events
+    """,
+    doc="P11 new/old-user correction (BaseLogApp.java:52-77): per-key "
+    "ValueState rewrite becomes a row_number-over-key expression.",
+    tags=("dwd", "stateful"),
+)
+def dwd_new_user_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flagged = correct_new_user_flag(_events(spark, sf_dir))
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "is_new",
+    )
+
+
+@register(
+    "dwm_user_jump",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts))  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT user_id, event_id, ts_us
+    FROM ordered
+    WHERE (prev_us IS NULL OR ts_us - prev_us > 1800*1000000)
+      AND (next_us IS NULL OR next_us - ts_us > 600*1000000)
+    """,
+    doc="W7 CEP bounce detection (UserJumpDetailApp.java:77-134): strict-"
+    "contiguity NFA + 10s timeout re-expressed as lag/lead over the key; "
+    "entry = no predecessor within 30min, jump = no successor within 10min.",
+    tags=("dwm", "cep", "stateful"),
+)
+def dwm_user_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jumps = detect_jumps(_events(spark, sf_dir))
+    return jumps.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
+@register(
+    "dwm_session_stats",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800*1000000
+                  THEN 1 ELSE 0 END AS is_entry
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             sum(is_entry) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id,
+             value
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           cast(sum(cast(value as decimal(18,2))) as double) AS sv_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Sessionization (gap=30min) per key: lag+cumulative-sum session "
+    "surrogate, then per-session aggregates — the sv_ct building block of "
+    "VisitorStats (VisitorStatsApp.java:74-92).",
+    tags=("dwm", "session"),
+)
+def dwm_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    marked = mark_sessions(_events(spark, sf_dir))
+    return marked.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv_value"),
+    )

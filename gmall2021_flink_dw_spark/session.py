@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+The reference pins parallelism to 1 to match Kafka partitions
+(``ProductStatsApp.java:39``); we instead size shuffle parallelism to the
+machine and let AQE coalesce at runtime. Session timezone is pinned to UTC
+so timestamp formatting matches the DuckDB oracle (whose timestamps are
+UTC-naive); the reference's fixed +08:00 handling (``DateTimeUtil.java:17``)
+is a per-query formatting concern, not a session one.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "gmall2021_flink_dw_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session with scale-oriented defaults.
+
+    Defaults chosen for a large cluster and equally valid on local[N]:
+    AQE on (runtime partition coalescing + skew-join splitting), Arrow on
+    (vectorized pandas-UDF exchange), shuffle partitions ~ cores locally
+    (on a real cluster this is set per-job to ~2-3x total cores).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        # parquet TIMESTAMP (isAdjustedToUTC=false) -> TIMESTAMP_NTZ, matching
+        # DuckDB's naive reading of the driver-generated testdata.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # events.parquet stores ts as TIMESTAMP(NANOS) which Spark has no
+        # native type for; read as long nanos and convert in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

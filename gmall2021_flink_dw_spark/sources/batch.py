@@ -1,0 +1,55 @@
+"""Batch parquet sources over the driver's deterministic testdata.
+
+Capability parity: the reference's sources are Kafka topic consumers
+(``MyKafkaUtil.java:40-43``, S1/S2 in SURVEY §2.1); in tests/bench we read
+the same logical tables from parquet. ``spark.read.parquet`` gives column
+pruning + predicate pushdown for free — the reference has neither (its
+Kafka source ships whole JSON strings per record).
+
+At 100 TB these tables would be day-partitioned parquet/Delta on object
+storage; the loader API is path-based so that swap is a config change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS): surfaced as long nanos under
+    # spark.sql.legacy.parquet.nanosAsLong. Truncate to micros (exactly
+    # what DuckDB does reading the same file) and expose a real timestamp.
+    # `div` is integer division — double division would lose precision on
+    # ~1.7e18 nano values.
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each table as a temp view so SQL-surface queries (the
+    reference's Flink-SQL apps, ``ProvinceStatsSqlApp.java:38-49``) run
+    nearly verbatim through spark.sql."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

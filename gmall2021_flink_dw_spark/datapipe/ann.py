@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns.
+
+- brute_force_topk: exact cosine top-k — broadcast the (small) query set
+  against the base table; per-row cosine entirely in codegen'd
+  higher-order array functions (zip_with/aggregate), all math in double
+  (the float->double widening is done once, term order is sequential, so
+  the result is bit-identical to the DuckDB oracle's list_transform fold).
+- bucketed_topk: sign-bucket ANN (the scale path): hash each vector to a
+  2^d bucket by the signs of its first d dims; queries search only their
+  bucket. At 100 TB the bucket id is the partition key, so a query scans
+  one partition instead of the corpus. Recall measured in tests (no SQL
+  oracle — approximate by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIGN_BITS = 4  # 16 buckets; multi-probe widens recall
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / F.sqrt(_norm2(a) * _norm2(b))
+
+
+def as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def brute_force_topk(
+    base: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine; ties broken by vec_id.
+    queries: (q_id, q_emb array<double>); base: (vec_id, emb array<double>)."""
+    from pyspark.sql import Window
+
+    pairs = base.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = pairs.withColumn("sim", cosine(F.col("emb"), F.col("q_emb")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def sign_bucket(emb: Column, bits: int = SIGN_BITS) -> Column:
+    """Deterministic LSH-style bucket: bit j set iff emb[j] > 0."""
+    expr = F.lit(0)
+    for j in range(bits):
+        expr = expr + F.when(emb[j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return expr.cast("int")
+
+
+def probe_buckets(emb: Column, bits: int = SIGN_BITS) -> Column:
+    """Multi-probe LSH: the query's own bucket plus every bucket at
+    sign-Hamming distance 1 (flip each of the `bits` sign bits). Cuts the
+    near-boundary recall loss of single-bucket probing while still
+    scanning only (bits+1)/2^bits of the corpus."""
+    own = sign_bucket(emb, bits)
+    probes = [own] + [
+        own.bitwiseXOR(F.lit(1 << j)) for j in range(bits)
+    ]
+    return F.array(*probes)
+
+
+def bucketed_topk(base: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """ANN: search only the query's probe buckets. Equi-join on bucket id
+    replaces the cross join — the join key IS the partition key at scale."""
+    from pyspark.sql import Window
+
+    b = base.withColumn("bucket", sign_bucket(F.col("emb")))
+    q = queries.withColumn(
+        "bucket", F.explode(probe_buckets(F.col("q_emb")))
+    )
+    pairs = b.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = pairs.withColumn("sim", cosine(F.col("emb"), F.col("q_emb")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+    )

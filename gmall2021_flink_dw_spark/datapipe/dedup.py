@@ -1,0 +1,260 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+- exact: one hash-groupBy on a content fingerprint — linear, one shuffle.
+- n-gram Jaccard (exact pairs): inverted-index self-join on shingles —
+  cost ~ sum over shingles of df^2, NOT all-pairs n^2. At 100 TB add
+  `max_df` to drop ubiquitous shingles (they can't certify high Jaccard
+  but dominate join fan-out).
+- MinHash+LSH: k=32 signature, b=8 bands x r=4 rows — candidate pairs
+  only where a band collides; exact Jaccard verification on candidates.
+  Tunable (b,r) trades recall vs cost; recall at j=0.8 is
+  1-(1-0.8^4)^8 ~ 0.986.
+- SimHash: 64-bit weighted token hash; near-dup = small Hamming
+  distance; candidates via 4x16-bit block index (any exact-match block).
+
+All hashing is xxhash64 (Spark built-in, deterministic across runs and
+partitionings). The LSH/SimHash paths have no SQL oracle (driver records
+rows-only); tests/test_datapipe.py checks recall against the exact
+n-gram-Jaccard pairs instead.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gmall2021_flink_dw_spark.datapipe.text import shingles, with_tokens
+
+# 31-bit Mersenne prime: keeps a*h + b within long range under Spark's
+# default ANSI overflow checking (a,b < 2^30, h < 2^31 -> product < 2^61).
+MERSENNE_PRIME = (1 << 31) - 1
+NUM_PERM = 32
+LSH_BANDS = 8
+LSH_ROWS = 4  # NUM_PERM = LSH_BANDS * LSH_ROWS
+
+# Fixed (a, b) parameters for the 32 universal-hash permutations,
+# generated once from a pinned seed so signatures are stable across runs.
+_rng = random.Random(20240813)
+PERM_PARAMS = [
+    (_rng.randrange(1, 1 << 30), _rng.randrange(0, 1 << 30))
+    for _ in range(NUM_PERM)
+]
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash; survivor = min doc_id per group."""
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        docs.withColumn("fingerprint", F.md5(F.col("text")))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 5) -> DataFrame:
+    """(doc_id, shingle) exploded pairs + per-doc shingle count."""
+    toks = with_tokens(docs).filter(F.size("__tokens") >= n)
+    sh = toks.select(
+        "doc_id", shingles("__tokens", n).alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
+    return sh.select("doc_id", "n_grams", F.explode("grams").alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 5, threshold: float = 0.5, max_df: int | None = None
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via inverted-index join on shingles.
+
+    max_df (scale knob): drop shingles appearing in more than max_df docs
+    before pairing — bounded join fan-out at the cost of exactness for
+    low-Jaccard pairs (high-Jaccard pairs share many rare shingles).
+    """
+    e = doc_shingles(docs, n)
+    if max_df is not None:
+        df_counts = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        e = e.join(F.broadcast(df_counts.filter(F.col("__df") <= max_df)), "shingle")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n_grams")).alias("na"),
+            F.first(F.col("b.n_grams")).alias("nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs
+
+
+def minhash_signatures(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Per-doc MinHash signature: 32 min-aggregations over shingle hashes.
+    One explode + one groupBy — no all-pairs work."""
+    e = doc_shingles(docs, n).withColumn(
+        # reduce the signed 64-bit hash into [0, 2^31) so the universal
+        # hash products stay within long range (ANSI overflow checking).
+        "h",
+        F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_PRIME)),
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_PRIME))).alias(
+            f"s{i}"
+        )
+        for i, (a, b) in enumerate(PERM_PARAMS)
+    ]
+    return e.groupBy("doc_id").agg(F.first("n_grams").alias("n_grams"), *aggs)
+
+
+def minhash_lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Banded LSH: hash each band of r signature values; docs colliding in
+    any band become a candidate pair (distinct)."""
+    bands = []
+    for band in range(LSH_BANDS):
+        cols = [f"s{band * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(*[F.col(c) for c in cols]).alias("bhash"),
+            )
+        )
+    exploded = sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash LSH candidates verified with exact Jaccard (computed only
+    for candidates — the 100 TB-scale near-dup path)."""
+    cand = minhash_lsh_candidates(minhash_signatures(docs, n))
+    grams = (
+        with_tokens(docs)
+        .filter(F.size("__tokens") >= n)
+        .select("doc_id", shingles("__tokens", n).alias("grams"))
+    )
+    ga = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")
+    )
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("grams_a", "grams_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("grams_a") + F.size("grams_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SIMHASH_BLOCKS = 8  # 8 blocks x 8 bits: pigeonhole guarantees any pair
+SIMHASH_BLOCK_BITS = 8  # with hamming <= 7 shares at least one block
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over token occurrence counts, emitted as 8 x 8-bit
+    blocks (block index doubles as the LSH bucket key)."""
+    toks = with_tokens(docs).select(
+        "doc_id", F.explode("__tokens").alias("token")
+    )
+    counted = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = counted.groupBy("doc_id").agg(*bit_sums)
+    blocks = []
+    for blk in range(SIMHASH_BLOCKS):
+        expr = F.lit(0)
+        for j in range(SIMHASH_BLOCK_BITS):
+            i = blk * SIMHASH_BLOCK_BITS + j
+            expr = expr + F.when(F.col(f"b{i}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        blocks.append(expr.cast("long").alias(f"block{blk}"))
+    return sums.select("doc_id", *blocks)
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share at least one exact
+    8-bit block (pigeonhole: hamming<=7 over 8 blocks guarantees one
+    equal block), verified by full Hamming distance."""
+    nb = SIMHASH_BLOCKS
+    sh = simhash(docs)
+    blocks = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"), F.col(f"block{i}").alias("val")
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), *[F.col(f"block{i}").alias(f"a{i}") for i in range(nb)])
+    sb = sh.select(F.col("doc_id").alias("doc_b"), *[F.col(f"block{i}").alias(f"b{i}") for i in range(nb)])
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(nb)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

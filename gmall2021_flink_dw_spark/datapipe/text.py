@@ -1,0 +1,95 @@
+"""Text-analysis operators: shingling, quality, language-ID, fingerprints.
+
+All JVM-side (codegen'd higher-order array functions) — no Python in the
+hot path. Every helper has a term-for-term DuckDB translation used by the
+oracles in plans/datapipe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gmall2021_flink_dw_spark.functions.tokenizer import TOKEN_RE, tokenize
+
+# Deterministic per-language marker words for the n-gram/stopword
+# language-ID heuristic. Ties break by the MARKER order (en first).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de", "le", "shi", "he", "zai"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("__tokens", tokenize(text_col))
+
+
+def token_count(tokens: Column) -> Column:
+    return F.size(tokens).cast("bigint")
+
+
+def marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
+    """Occurrence count (not distinct) of marker words in the token list."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t))).cast("bigint")
+
+
+def predict_lang(tokens: Column) -> Column:
+    """Deterministic argmax over marker-hit counts, ties by declaration
+    order. The reference has no language-ID; this is the standard n-gram
+    heuristic of a training-data pipeline, kept trivially SQL-expressible."""
+    expr = None
+    best = None
+    for lang, markers in LANG_MARKERS.items():
+        hits = marker_hits(tokens, markers)
+        if expr is None:
+            expr, best = F.lit(lang), hits
+        else:
+            expr = F.when(hits > best, F.lit(lang)).otherwise(expr)
+            best = F.when(hits > best, hits).otherwise(best)
+    return expr
+
+
+def duck_marker_hits(tokens_sql: str, markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({tokens_sql}, t -> t IN ({lst})))"
+
+
+def duck_predict_lang(tokens_sql: str) -> str:
+    """DuckDB CASE chain mirroring predict_lang's fold order exactly."""
+    expr = None
+    best = None
+    for lang, markers in LANG_MARKERS.items():
+        hits = duck_marker_hits(tokens_sql, markers)
+        if expr is None:
+            expr, best = f"'{lang}'", hits
+        else:
+            expr = f"CASE WHEN {hits} > {best} THEN '{lang}' ELSE {expr} END"
+            best = f"CASE WHEN {hits} > ({best}) THEN {hits} ELSE ({best}) END"
+    return expr
+
+
+def shingles(tokens_col_name: str, n: int = 5) -> Column:
+    """Distinct word n-gram strings (0-based Spark array indexing) over an
+    existing ArrayType(String) column named `tokens_col_name`."""
+    c = tokens_col_name
+    parts = ", ".join(f"{c}[i+{j}]" for j in range(n))
+    return F.expr(
+        f"array_distinct(transform(sequence(0, size({c})-{n}), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+def duck_shingles(n: int = 5) -> str:
+    """DuckDB translation over a 1-based list column `w`:
+    list_distinct(list_transform(range(1, len(w)-(n-2)), i -> ...))."""
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"list_distinct(list_transform(range(1, len(w)-{n - 2}), i -> {parts}))"
+
+
+TOKENS_SQL = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"

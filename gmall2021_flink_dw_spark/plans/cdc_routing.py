@@ -1,1 +1,127 @@
-"""Placeholder — queries registered in a later milestone."""
+"""CDC + routing queries (SURVEY S3/S4, P2, J3/P9, K4) with oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall2021_flink_dw_spark.operators.routing import (
+    project_sink_columns,
+    route,
+    routing_config,
+    upsert_snapshot,
+)
+from gmall2021_flink_dw_spark.operators.split import filter_cdc_deletes
+from gmall2021_flink_dw_spark.registry import register
+from gmall2021_flink_dw_spark.sources.cdc import (
+    ORDERS_CHANGELOG_ORACLE,
+    orders_changelog,
+)
+
+_RULES_SQL = """
+    (VALUES ('order_info','insert','kafka','dwd_order_info'),
+            ('order_info','update','kafka','dwd_order_info'),
+            ('customer_info','insert','hbase','dim_customer_info'),
+            ('customer_info','update','hbase','dim_customer_info'))
+      AS rules(source_table, operate_type, sink_type, sink_table)
+"""
+
+
+@register(
+    "cdc_changelog",
+    oracle=f"""
+    SELECT op, count(*) AS n, count(DISTINCT id) AS n_keys,
+           cast(sum(after_total) as double) AS total_after
+    FROM ({ORDERS_CHANGELOG_ORACLE})
+    GROUP BY op
+    """,
+    doc="S3/S4 CDC envelope (CustomerDeserialization.java:28-81): "
+    "deterministic Debezium-style changelog synthesized from orders; "
+    "per-op cardinality + payload checksum.",
+    tags=("cdc", "source"),
+)
+def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        orders_changelog(spark, sf_dir)
+        .groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("id").alias("n_keys"),
+            F.sum("after_total").cast("double").alias("total_after"),
+        )
+    )
+
+
+@register(
+    "cdc_route",
+    oracle=f"""
+    SELECT sink_type, sink_table, op, count(*) AS n,
+           cast(sum(after_total) as double) AS total_after
+    FROM ({ORDERS_CHANGELOG_ORACLE}) cl
+    JOIN {_RULES_SQL}
+      ON cl.table_name = rules.source_table AND cl.op = rules.operate_type
+    WHERE cl.op <> 'delete'
+    GROUP BY 1, 2, 3
+    """,
+    doc="P2 delete filter (BaseDBApp.java:39-45) + J3 broadcast config "
+    "routing (BaseDBApp.java:74-98): records joined to table_process "
+    "rules on (table, op); unmatched dropped; routed per-sink counts.",
+    tags=("cdc", "routing", "join"),
+)
+def cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = filter_cdc_deletes(orders_changelog(spark, sf_dir))
+    routed = route(cl, routing_config(spark))
+    return routed.groupBy("sink_type", "sink_table", "op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("after_total").cast("double").alias("total_after"),
+    )
+
+
+@register(
+    "cdc_route_projected",
+    oracle=f"""
+    SELECT sink_type, sink_table, op, ts_us, id, after_status,
+           cast(after_total as double) AS after_total
+    FROM ({ORDERS_CHANGELOG_ORACLE}) cl
+    JOIN {_RULES_SQL}
+      ON cl.table_name = rules.source_table AND cl.op = rules.operate_type
+    WHERE id % 100 = 7
+    """,
+    doc="P9 config-driven projection (TableProcessFunction.java:77-86): "
+    "routed records keep only sink_columns; sampled rows (id%100=7) so "
+    "the full row payload is value-checked, not just counts.",
+    tags=("cdc", "routing", "projection"),
+)
+def cdc_route_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = orders_changelog(spark, sf_dir).filter(F.col("id") % 100 == 7)
+    routed = route(cl, routing_config(spark))
+    out = project_sink_columns(routed, "id,after_status,after_total")
+    return out.select(
+        "sink_type", "sink_table", "op", "ts_us", "id", "after_status",
+        F.col("after_total").cast("double").alias("after_total"),
+    )
+
+
+@register(
+    "cdc_dim_snapshot",
+    oracle=f"""
+    WITH versioned AS (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts_us DESC, op) AS rn
+      FROM ({ORDERS_CHANGELOG_ORACLE})
+    )
+    SELECT id, after_status, cast(after_total as double) AS after_total, ts_us
+    FROM versioned WHERE rn = 1 AND op <> 'delete'
+    """,
+    doc="K4 dim upsert replay (DimSinkFunction.java:40-71): last-writer-"
+    "wins snapshot per key, trailing deletes drop the key — batch form of "
+    "the Phoenix upsert + cache invalidation.",
+    tags=("cdc", "upsert", "stateful"),
+)
+def cdc_dim_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = upsert_snapshot(orders_changelog(spark, sf_dir))
+    return snap.select(
+        "id",
+        "after_status",
+        F.col("after_total").cast("double").alias("after_total"),
+        "ts_us",
+    )

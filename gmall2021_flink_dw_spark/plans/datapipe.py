@@ -1,1 +1,271 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Training-data pipeline queries: dedup / similarity / text / multimodal.
+
+The SQL-expressible ones (exact dedup, n-gram Jaccard, text stats,
+lang-ID, brute-force ANN, multimodal metadata) carry DuckDB oracles; the
+approximate ones (MinHash LSH, SimHash, bucketed ANN) are rows-only for
+the driver and get recall/property tests in tests/test_datapipe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall2021_flink_dw_spark.datapipe.ann import (
+    as_double,
+    brute_force_topk,
+    bucketed_topk,
+)
+from gmall2021_flink_dw_spark.datapipe.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from gmall2021_flink_dw_spark.datapipe.multimodal import (
+    attach_payload,
+    decode_features,
+)
+from gmall2021_flink_dw_spark.datapipe.text import (
+    STOPWORDS,
+    TOKENS_SQL,
+    duck_marker_hits,
+    duck_predict_lang,
+    duck_shingles,
+    marker_hits,
+    predict_lang,
+    with_tokens,
+)
+from gmall2021_flink_dw_spark.registry import register
+from gmall2021_flink_dw_spark.session import ensure_workers_can_import
+from gmall2021_flink_dw_spark.sources.batch import load_table
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           len(w) AS n_tokens,
+           len(list_distinct(w)) AS n_uniq_tokens,
+           {duck_marker_hits("w", STOPWORDS)} AS stopword_hits,
+           round({duck_marker_hits("w", STOPWORDS)}::double / len(w), 6) AS stopword_ratio,
+           md5(text) AS fingerprint
+    FROM (SELECT *, {TOKENS_SQL} AS w FROM documents)
+    WHERE len(w) > 0
+    """,
+    doc="Text quality metrics per document: token counts, stopword ratio, "
+    "content fingerprint — all codegen'd array functions, no Python.",
+    tags=("datapipe", "text"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    t = F.col("__tokens")
+    hits = marker_hits(t, STOPWORDS)
+    return docs.filter(F.size(t) > 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_uniq_tokens"),
+        hits.alias("stopword_hits"),
+        F.round(hits.cast("double") / F.size(t), 6).alias("stopword_ratio"),
+        F.md5("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    SELECT lang AS labeled_lang, {duck_predict_lang("w")} AS predicted_lang,
+           count(*) AS n
+    FROM (SELECT lang, {TOKENS_SQL} AS w FROM documents)
+    GROUP BY 1, 2
+    """,
+    doc="Language-ID heuristic (marker-word argmax, deterministic "
+    "tie-break) — confusion matrix against the labeled lang column.",
+    tags=("datapipe", "text"),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            predict_lang(F.col("__tokens")).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, fingerprint, group_size
+    FROM (
+      SELECT doc_id, md5(text) AS fingerprint,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY md5(text)) AS group_size
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="Exact dedup: hash-groupBy on content fingerprint, min-doc_id "
+    "survivor per group. One shuffle, linear in corpus size.",
+    tags=("datapipe", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    survivors = exact_dedup(load_table(spark, sf_dir, "documents"))
+    return survivors.select("doc_id", "fingerprint", "group_size")
+
+
+_JACCARD_ORACLE = f"""
+    WITH g AS (
+      SELECT doc_id, {duck_shingles(5)} AS grams
+      FROM (SELECT doc_id, {TOKENS_SQL} AS w FROM documents)
+      WHERE len(w) >= 5
+    ), e AS (
+      SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS shingle FROM g
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS inter,
+           any_value(a.n_grams) AS na, any_value(b.n_grams) AS nb,
+           round(count(*)::double /
+                 (any_value(a.n_grams) + any_value(b.n_grams) - count(*)), 6)
+             AS jaccard
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*)::double /
+           (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.5
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    doc="Exact near-dup pairs: word-5-gram shingles, inverted-index "
+    "self-join (cost ~ sum df^2 per shingle, not n^2 all-pairs), exact "
+    "Jaccard >= 0.5. The ground truth the LSH variants are measured "
+    "against.",
+    tags=("datapipe", "dedup", "join"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, threshold=0.5
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,
+    doc="MinHash (k=32) + banded LSH (8x4) near-dup candidates verified "
+    "with exact Jaccard on candidates only — the 100 TB dedup path. "
+    "Approximate by construction (recall ~0.99 at j=0.8); recall vs the "
+    "exact pairs is asserted in tests/test_datapipe.py.",
+    tags=("datapipe", "dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, threshold=0.5
+    )
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,
+    doc="SimHash 64-bit near-dup pairs (hamming <= 6) with 8x8-bit "
+    "block index for candidate generation (pigeonhole guarantee). "
+    "Property-tested in tests/test_datapipe.py.",
+    tags=("datapipe", "dedup", "lsh"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
+
+
+_ANN_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.q_id, e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding)+1),
+                      i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE))
+             / sqrt(
+                 list_sum(list_transform(range(1, len(e.embedding)+1),
+                          i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                 * list_sum(list_transform(range(1, len(q.q_emb)+1),
+                            i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE))
+             ) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, rank, round(sim, 6) AS sim
+    FROM (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_topk",
+    oracle=_ANN_ORACLE,
+    doc="Exact cosine top-5 per query (query set = vec_id < 10, "
+    "broadcast): zip_with/aggregate double-precision fold entirely in "
+    "codegen — the baseline the bucketed ANN is measured against.",
+    tags=("datapipe", "ann"),
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double("embedding").alias("emb"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), as_double("embedding").alias("q_emb")
+    )
+    return brute_force_topk(base, queries, k=5)
+
+
+@register(
+    "ann_bucketed",
+    oracle=None,
+    doc="Sign-bucket ANN (2^6 buckets on leading-dim signs): query scans "
+    "only its bucket — bucket id doubles as the partition key at scale. "
+    "Recall vs brute force asserted in tests/test_datapipe.py.",
+    tags=("datapipe", "ann"),
+)
+def ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double("embedding").alias("emb"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), as_double("embedding").alias("q_emb")
+    )
+    return bucketed_topk(base, queries, k=5)
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           octet_length(text::BLOB) AS payload_len,
+           md5(text) AS content_hash,
+           'text-bytes' AS modality,
+           (octet_length(text::BLOB) % 640) + 1 AS width,
+           (octet_length(text::BLOB) % 480) + 1 AS height
+    FROM documents
+    """,
+    doc="Multimodal plumbing: opaque binary payload + typed metadata, "
+    "decoded through a real mapInPandas (Arrow-batched) stage with a "
+    "deterministic stub decoder (codec libs absent by design — "
+    "decode_real raises NotImplementedError).",
+    tags=("datapipe", "multimodal", "udf"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers_can_import(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(attach_payload(docs))

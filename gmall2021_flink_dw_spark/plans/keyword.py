@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from gmall2021_flink_dw_spark.functions.tokenizer import TOKEN_RE, tokenize, tokenize_udf
 from gmall2021_flink_dw_spark.registry import register
+from gmall2021_flink_dw_spark.session import ensure_workers_can_import
 from gmall2021_flink_dw_spark.sources.batch import load_table
 
 
@@ -71,6 +72,7 @@ def dws_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dws", "udtf", "udf", "text"),
 )
 def dws_keyword_stats_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers_can_import(spark)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     return (
         docs.select(F.explode(tokenize_udf("text")).alias("word"))

@@ -11,8 +11,36 @@ is a per-query formatting concern, not a session one.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_PKG_ZIP: str | None = None
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Queries that run Python UDF stages (pandas UDFs / mapInPandas) pickle
+    functions by module reference; a driver process started outside the
+    repo directory would otherwise hit ModuleNotFoundError in the worker.
+    Idempotent per process; cheap (small zip, cached by Spark).
+    """
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        base = os.path.join(
+            tempfile.gettempdir(), "gmall2021_flink_dw_spark_pkg"
+        )
+        _PKG_ZIP = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir),
+                                       os.path.basename(pkg_dir))
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        # already added in this context — Spark raises on re-add of the
+        # same filename in some versions; safe to ignore.
+        pass
 
 
 def get_spark(

@@ -1,0 +1,83 @@
+"""Property/recall tests for the approximate datapipe operators.
+
+The exact operators are oracle-checked in test_oracle_parity; these
+validate the approximate variants against their exact counterparts:
+- MinHash LSH must recover (almost) all exact Jaccard>=0.5 pairs;
+- SimHash pairs must be symmetric-free (a<b), within the hamming bound;
+- bucketed ANN must reach reasonable recall vs brute force on top-5.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gmall2021_flink_dw_spark.registry import load_all
+from tests.conftest import ORACLE_SF
+
+REGISTRY = load_all()
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    df = REGISTRY["dedup_ngram_jaccard"].fn(spark, ORACLE_SF).toPandas()
+    return {(int(a), int(b)) for a, b in zip(df.doc_a, df.doc_b)}
+
+
+def test_minhash_lsh_recall(spark, exact_pairs):
+    got = REGISTRY["dedup_minhash_lsh"].fn(spark, ORACLE_SF).toPandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got.doc_a, got.doc_b)}
+    assert exact_pairs, "fixture data should contain near-dup pairs"
+    # candidates are verified with exact jaccard, so no false positives
+    assert got_pairs <= exact_pairs
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} below bound"
+
+
+def test_simhash_pairs_form(spark):
+    df = REGISTRY["dedup_simhash"].fn(spark, ORACLE_SF).toPandas()
+    assert (df.doc_a < df.doc_b).all()
+    assert (df.hamming <= 6).all()
+
+
+def test_simhash_finds_near_dups(spark, exact_pairs):
+    df = REGISTRY["dedup_simhash"].fn(spark, ORACLE_SF).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(df.doc_a, df.doc_b)}
+    # very-high-jaccard pairs should mostly collide in simhash space
+    high = REGISTRY["dedup_ngram_jaccard"].fn(spark, ORACLE_SF).toPandas()
+    high_pairs = {
+        (int(a), int(b))
+        for a, b, j in zip(high.doc_a, high.doc_b, high.jaccard)
+        if j >= 0.95
+    }
+    if high_pairs:
+        recall = len(got & high_pairs) / len(high_pairs)
+        assert recall >= 0.8, f"simhash recall on j>=0.95 pairs: {recall:.2f}"
+
+
+def test_bucketed_ann_recall(spark):
+    brute = REGISTRY["ann_topk"].fn(spark, ORACLE_SF).toPandas()
+    approx = REGISTRY["ann_bucketed"].fn(spark, ORACLE_SF).toPandas()
+    b = {(int(q), int(v)) for q, v in zip(brute.q_id, brute.vec_id)}
+    a = {(int(q), int(v)) for q, v in zip(approx.q_id, approx.vec_id)}
+    # sign-bucket ANN trades recall for a 64x search-space cut; with
+    # random gaussian embeddings neighbors often cross bucket boundaries,
+    # so the bound here is deliberately loose — it guards "is it even
+    # searching the right region", not exactness.
+    recall = len(a & b) / len(b)
+    assert recall >= 0.3, f"bucketed ANN recall {recall:.2f}"
+    # every approx hit must come from the query's own bucket and carry a
+    # valid rank
+    assert (approx["rank"] <= 5).all()
+
+
+def test_approx_count_distinct_bounds(spark):
+    exact = (
+        REGISTRY["dws_product_stats"].fn(spark, ORACLE_SF).toPandas()["order_ct"].sum()
+    )
+    approx = (
+        REGISTRY["dws_product_stats_approx"]
+        .fn(spark, ORACLE_SF)
+        .toPandas()["order_ct_approx"]
+        .sum()
+    )
+    assert abs(approx - exact) / exact < 0.1

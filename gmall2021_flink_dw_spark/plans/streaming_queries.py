@@ -1,0 +1,83 @@
+"""Streaming queries surfaced through the driver contract.
+
+Each callable replays the events table through readStream, drains the
+streaming query synchronously into a memory sink, and returns the result
+DataFrame — so the driver's batch-style harness can observe Structured
+Streaming behavior (watermark-closed windows, stateful CEP emission).
+
+streaming_visitor_stats has a real oracle: in append mode exactly the
+windows whose end <= final watermark (max event time - delay) are
+emitted, which is SQL-expressible. The CEP stream is rows-only (emission
+set depends on watermark progression; its equivalence to the batch form
+is asserted in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall2021_flink_dw_spark.functions.windows import duck_window_bounds
+from gmall2021_flink_dw_spark.registry import register
+from gmall2021_flink_dw_spark.session import ensure_workers_can_import
+from gmall2021_flink_dw_spark.streaming.pipelines import (
+    run_to_memory,
+    visitor_stats_transform,
+)
+from gmall2021_flink_dw_spark.streaming.sources import stream_table
+from gmall2021_flink_dw_spark.streaming.stateful import jump_detect_stream
+
+_WM_S = 11  # VisitorStats out-of-orderness (VisitorStatsApp.java:101)
+
+_STT, _EDT = duck_window_bounds("ts", 3600)
+
+
+@register(
+    "streaming_visitor_stats",
+    oracle=f"""
+    WITH agg AS (
+      SELECT {_STT}, {_EDT}, event_type,
+             count(*) AS pv_ct,
+             cast(sum(cast(value as decimal(18,2))) as double) AS dur_sum
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT stt, edt, event_type, pv_ct, dur_sum FROM agg
+    WHERE edt <= (
+      SELECT strftime(max(ts) - INTERVAL {_WM_S} SECOND, '%Y-%m-%d %H:%M:%S')
+      FROM events
+    )
+    """,
+    doc="W1/W3 under Structured Streaming: tumbling hourly windows with an "
+    f"{_WM_S}s watermark, append mode — emits exactly the windows the "
+    "final watermark closed; the oracle reproduces that closure rule in "
+    "SQL. (uv approx column dropped here: HLL has no SQL oracle.)",
+    tags=("streaming", "window", "agg"),
+)
+def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = visitor_stats_transform(
+        stream_table(spark, sf_dir, "events").withWatermark("ts", f"{_WM_S} seconds")
+    ).drop("uv_ct_approx")
+    name = f"svs_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(stream, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
+
+
+@register(
+    "streaming_jump_detect",
+    oracle=None,
+    doc="W7 CEP under Structured Streaming (applyInPandasWithState with "
+    "event-time timers): emitted bounces are a subset of the batch "
+    "lag/lead oracle, bounded-complete up to tail-pending state; "
+    "equivalence asserted in tests/test_streaming.py.",
+    tags=("streaming", "cep", "stateful"),
+)
+def streaming_jump_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers_can_import(spark)
+    stream = jump_detect_stream(stream_table(spark, sf_dir, "events"))
+    name = f"sjd_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(stream, name)
+    q.stop()
+    return spark.table(name)

@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "gmall2021_flink_dw_spark.plans.keyword",
     "gmall2021_flink_dw_spark.plans.cdc_routing",
     "gmall2021_flink_dw_spark.plans.datapipe",
+    "gmall2021_flink_dw_spark.plans.streaming_queries",
 )
 
 

@@ -1,0 +1,109 @@
+"""Streaming pipelines: the batch operators run under Structured Streaming.
+
+Design rule (SURVEY §7): every operator is a pure DataFrame -> DataFrame
+transform; streaming adds only `withWatermark` before stateful stages and
+a sink. The transforms here are used verbatim by both the batch
+equivalence tests and the streaming queries.
+
+Parity map:
+- W1/W2 watermarks  -> withWatermark (bounded out-of-orderness)
+- W3 tumbling agg   -> groupBy(window(...)) in append mode
+- W4 UV dedup       -> dropDuplicates([key, day]) with watermark
+- K1/K3 sinks       -> memory sink (tests) / parquet partitioned-by-day
+                       (ClickHouse-table analog, toYYYYMMDD partitioning)
+- K2/K4 dynamic routing -> foreachBatch fan-out writer
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from gmall2021_flink_dw_spark.functions.windows import FMT
+
+
+def visitor_stats_transform(df: DataFrame, window_s: int = 3600) -> DataFrame:
+    """A2/W3 streaming-safe visitor stats: per (window, event_type)
+    pv count + exact decimal dur_sum + approx uv (HLL — streaming cannot
+    do exact COUNT(DISTINCT) in append mode; SURVEY 'hardest items')."""
+    return (
+        df.groupBy(F.window("ts", f"{window_s} seconds"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.approx_count_distinct("user_id").alias("uv_ct_approx"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("dur_sum"),
+        )
+        .select(
+            F.date_format("window.start", FMT).alias("stt"),
+            F.date_format("window.end", FMT).alias("edt"),
+            "event_type",
+            "pv_ct",
+            "uv_ct_approx",
+            "dur_sum",
+        )
+    )
+
+
+def uv_dedup_transform(df: DataFrame) -> DataFrame:
+    """W4 streaming dedup: first event per (user, day). In streaming the
+    watermark bounds state (the reference bounds it with a 24 h state
+    TTL, UniqueVisitApp.java:51-53)."""
+    return df.withColumn("dt", F.to_date("ts")).dropDuplicates(
+        ["user_id", "dt"]
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """K5/test sink: memory table + synchronous drain."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def write_dws_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """K3 sink analog: the reference appends DWS rows to ClickHouse
+    tables partitioned by toYYYYMMDD(stt) (ProductStatsApp.java:337-339).
+    Spark form: parquet/Delta append partitioned by the day of stt —
+    idempotent via checkpointing (W9 exactly-once analog: checkpoint +
+    deterministic file naming per epoch)."""
+    q = (
+        stream_df.withColumn("dt", F.substring("stt", 1, 10))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("dt")
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def foreach_batch_router(base_dir: str):
+    """K2/K4 dynamic multi-sink: one micro-batch fanned out to per-
+    sink_table directories (the reference picks the Kafka topic / Phoenix
+    table per record: MyKafkaUtil.java:27-35, DimSinkFunction.java:40-71).
+
+    partitionBy(sink_table) writes every route in ONE pass over the
+    batch — no per-route filter-and-write loop, no repeated scan."""
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .partitionBy("sink_table")
+            .parquet(os.path.join(base_dir, f"epoch={epoch_id}"))
+        )
+
+    return _write

@@ -1,0 +1,74 @@
+"""Streaming sources (SURVEY §2.1 S1/S2/S7/S8).
+
+Production source is Kafka (``MyKafkaUtil.java:40-53``):
+``spark.readStream.format("kafka").option("subscribe", topic)`` +
+``from_json`` — schema pinned exactly like the DDL sources of the SQL
+apps. In this environment there is no broker, so the test sources are:
+
+- file stream over the driver's parquet (S1-analog: replayable, ordered);
+- an in-memory rows source via a parquet tempdir (S8-analog of
+  ``fromElements``, UserJumpDetailApp.java:52-60).
+
+Both produce DataFrames with the same schema as the batch loader, so
+every operator runs unchanged on either.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall2021_flink_dw_spark.sources.batch import load_table
+
+
+def _as_stream_dir(sf_dir: str, name: str) -> str:
+    """The file-stream source needs a DIRECTORY; expose the single table
+    file through a symlink in a stable temp dir (testdata is read-only)."""
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_streams",
+        os.path.basename(os.path.normpath(sf_dir)),
+        name,
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{name}.parquet")
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-stream the given table with the batch loader's schema (incl.
+    the nanos->micros ts conversion for events)."""
+    batch_df = load_table(spark, sf_dir, name)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        _as_stream_dir(sf_dir, name)
+    )
+    if name == "events":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    # sanity: streaming schema must equal batch schema
+    assert [f.name for f in stream.schema.fields] == [
+        f.name for f in batch_df.schema.fields
+    ]
+    return stream
+
+
+def kafka_stream(spark: SparkSession, topic: str, brokers: str) -> DataFrame:
+    """S1/S2 production source (no broker in the test image — used on a
+    real cluster): value bytes -> string, schema applied by the caller
+    via from_json, startingOffsets=latest like MyKafkaUtil.java:46-53."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value", "timestamp AS kafka_ts")
+    )

@@ -1,0 +1,116 @@
+"""Custom stateful streaming operator: CEP-style bounce detection (W7).
+
+The reference runs a Flink CEP NFA per device with strict contiguity and
+a 10 s within-timeout, unioning the matched and timed-out side outputs
+(``UserJumpDetailApp.java:77-134``). Spark has no CEP library; the
+Spark-first realization is ``applyInPandasWithState``:
+
+state per key = (last event time, pending entry event). On every event:
+- a pending entry whose successor arrives later than `jump_timeout`
+  is emitted as a bounce (the CEP timeout side-output);
+- a pending entry with a successor inside the timeout is discarded
+  (strict contiguity: the visit continued);
+- an event starting a new session (gap > `session_gap`) becomes the new
+  pending entry.
+An event-time timer (watermark-driven) flushes a pending entry that
+never sees a successor — the reference's `within(10s)` timeout.
+
+The batch oracle is operators/cep.py::detect_jumps (lag/lead form);
+tests/test_streaming.py asserts stream == batch on replay, mirroring how
+the reference validates CEP against its inline transcript
+(UserJumpDetailAppBak.java:28-43).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_S = 1800
+JUMP_TIMEOUT_S = 600
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("pend_us", T.LongType()),
+        T.StructField("pend_event", T.LongType()),
+    ]
+)
+
+
+def _jump_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    gap_us = SESSION_GAP_S * 1_000_000
+    timeout_us = JUMP_TIMEOUT_S * 1_000_000
+    user_id = key[0]
+
+    if state.exists:
+        last_us, pend_us, pend_event = state.get
+    else:
+        last_us, pend_us, pend_event = None, None, None
+
+    out: list[tuple[int, int, int]] = []
+
+    if state.hasTimedOut:
+        # watermark passed pending+timeout with no successor -> bounce
+        if pend_us is not None:
+            out.append((user_id, pend_event, pend_us))
+        state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "event_id", "ts_us"])
+        return
+
+    rows = pd.concat(list(pdfs))
+    rows = rows.sort_values(["ts_us", "event_id"])
+
+    for ev_id, ts_us in zip(rows["event_id"], rows["ts_us"]):
+        ts_us = int(ts_us)
+        ev_id = int(ev_id)
+        if pend_us is not None:
+            if ts_us - pend_us > timeout_us:
+                out.append((user_id, pend_event, pend_us))  # timeout bounce
+            pend_us, pend_event = None, None
+        is_entry = last_us is None or ts_us - last_us > gap_us
+        if is_entry:
+            pend_us, pend_event = ts_us, ev_id
+        last_us = ts_us
+
+    state.update((last_us, pend_us, pend_event))
+    if pend_us is not None:
+        # flush via event-time timer once the watermark passes the bound
+        state.setTimeoutTimestamp((pend_us + timeout_us) // 1000 + 1)
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "ts_us"])
+
+
+def jump_detect_stream(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """W7 streaming twin. `events` needs (user_id, event_id, ts)."""
+    prepared = (
+        events.withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "ts",
+        )
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _jump_fn,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,172 @@
+"""Batch-vs-streaming equivalence (SURVEY §5 strategy item (c)).
+
+Each streaming pipeline replays the same parquet through readStream and
+must agree with the identical transform applied to the static DataFrame.
+Uses the sf0.001 slice — streaming drains synchronously per test.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gmall2021_flink_dw_spark.operators.cep import detect_jumps
+from gmall2021_flink_dw_spark.operators.routing import route, routing_config
+from gmall2021_flink_dw_spark.sources.batch import load_table
+from gmall2021_flink_dw_spark.sources.cdc import orders_changelog
+from gmall2021_flink_dw_spark.streaming.pipelines import (
+    foreach_batch_router,
+    run_to_memory,
+    uv_dedup_transform,
+    visitor_stats_transform,
+)
+from gmall2021_flink_dw_spark.streaming.sources import stream_table
+from gmall2021_flink_dw_spark.streaming.stateful import jump_detect_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.astype(str).sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture()
+def events_stream(spark):
+    return stream_table(spark, SF, "events")
+
+
+def test_windowed_agg_equivalence(spark, events_stream):
+    """W1/W3: same transform, batch vs complete-mode streaming."""
+    stream = visitor_stats_transform(
+        events_stream.withWatermark("ts", "11 seconds")
+    )
+    q = run_to_memory(stream, "vs_stream", output_mode="append")
+    try:
+        got = spark.sql("select * from vs_stream").toPandas()
+        want = visitor_stats_transform(load_table(spark, SF, "events")).toPandas()
+        # append mode emits only windows the watermark closed; the final
+        # (open) windows stay in state. Compare the emitted subset.
+        want_sub = want[want.stt.isin(set(got.stt))]
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(_canon(got), _canon(want_sub))
+    finally:
+        q.stop()
+
+
+def test_uv_dedup_equivalence(spark, events_stream):
+    """W4: dropDuplicates under streaming == row_number batch dedup
+    (same survivor per (user, day) because event-time order is replayed)."""
+    q = run_to_memory(
+        uv_dedup_transform(events_stream.withWatermark("ts", "1 hour")),
+        "uv_stream",
+    )
+    try:
+        got = spark.sql(
+            "select user_id, dt, count(*) as n from uv_stream group by 1,2"
+        ).toPandas()
+        batch = uv_dedup_transform(load_table(spark, SF, "events")).toPandas()
+        # one survivor per key either way
+        assert (got.n == 1).all()
+        assert len(got) == len(batch)
+    finally:
+        q.stop()
+
+
+def test_jump_cep_equivalence(spark, events_stream):
+    """W7: applyInPandasWithState streaming CEP == lag/lead batch oracle.
+    With watermark 0s and a single replay batch, timers for pendings
+    flush in the trailing no-data micro-batch; any still-pending entries
+    (no successor AND watermark never passed their bound) are the only
+    legal difference."""
+    q = run_to_memory(jump_detect_stream(events_stream), "jump_stream")
+    try:
+        got = spark.sql("select * from jump_stream").toPandas()
+        want = (
+            detect_jumps(load_table(spark, SF, "events"))
+            .select(
+                "user_id",
+                "event_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            )
+            .toPandas()
+        )
+        got_set = {tuple(r) for r in got.itertuples(index=False)}
+        want_set = {tuple(r) for r in want.itertuples(index=False)}
+        # streaming must never emit a non-jump
+        assert got_set <= want_set
+        missing = want_set - got_set
+        # only tail-pending entries may be missing (watermark cannot pass
+        # the last event); bound the gap tightly
+        assert len(missing) <= want.user_id.nunique(), (
+            f"missing {len(missing)} of {len(want_set)}"
+        )
+        assert len(got_set) >= 0.8 * len(want_set)
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_router(spark):
+    """K2/K4: one foreachBatch pass fans records out per sink_table."""
+    out = tempfile.mkdtemp(prefix="router_")
+    try:
+        cl = route(orders_changelog(spark, SF), routing_config(spark))
+        writer = foreach_batch_router(out)
+        writer(cl, epoch_id=0)  # batch DataFrame through the same code path
+        written = spark.read.parquet(f"{out}/epoch=0")
+        assert written.count() == cl.count()
+        routed = {
+            r.sink_table
+            for r in written.select("sink_table").distinct().collect()
+        }
+        assert routed == {"dwd_order_info"}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_stream_interval_join(spark):
+    """J2 streaming twin: purchase stream x click stream with event-time
+    range bounds and watermarks — same pairs as the batch interval join."""
+    from gmall2021_flink_dw_spark.plans.order_pipeline import dwm_payment_wide
+
+    ev = stream_table(spark, SF, "events")
+    pay = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "16 minutes")
+        .select(
+            F.col("event_id").alias("pay_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    click = (
+        stream_table(spark, SF, "events")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "16 minutes")
+        .select(
+            F.col("event_id").alias("src_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = pay.join(
+        click,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts >= p_ts - interval 15 minutes AND "
+            "c_ts <= p_ts + interval 5 seconds"
+        ),
+    ).select("pay_event_id", "src_event_id")
+    q = run_to_memory(joined, "pw_stream")
+    try:
+        got = spark.sql("select * from pw_stream").toPandas()
+        want = dwm_payment_wide(spark, SF).select(
+            "pay_event_id", "src_event_id"
+        ).toPandas()
+        assert _canon(got).equals(_canon(want))
+    finally:
+        q.stop()

@@ -78,7 +78,12 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         df_counts = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         e = e.join(F.broadcast(df_counts.filter(F.col("__df") <= max_df)), "shingle")
-    a = e.alias("a")
+    # Force a partitioned (shuffle-hash) self-join: Catalyst's size
+    # estimate for exploded output is the pre-explode size, which makes
+    # it broadcast the full shingle table — fatal at 100 TB. The equi key
+    # (shingle) hash-partitions both sides identically; AQE still splits
+    # skewed shingles.
+    a = e.alias("a").hint("shuffle_hash")
     b = e.alias("b")
     pairs = (
         a.join(

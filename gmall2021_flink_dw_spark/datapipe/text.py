@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from gmall2021_flink_dw_spark.functions.tokenizer import TOKEN_RE, tokenize
 
@@ -74,15 +75,38 @@ def duck_predict_lang(tokens_sql: str) -> str:
     return expr
 
 
-def shingles(tokens_col_name: str, n: int = 5) -> Column:
-    """Distinct word n-gram strings (0-based Spark array indexing) over an
-    existing ArrayType(String) column named `tokens_col_name`."""
-    c = tokens_col_name
-    parts = ", ".join(f"{c}[i+{j}]" for j in range(n))
-    return F.expr(
-        f"array_distinct(transform(sequence(0, size({c})-{n}), "
-        f"i -> concat_ws(' ', {parts})))"
-    )
+def let(value: Column, body) -> Column:
+    """Bind `value` to a lambda variable so `body` can reference it many
+    times with ONE evaluation per row. Catalyst's projection collapse
+    otherwise inlines the producing expression into every reference —
+    for shingling that meant re-running the regexp tokenizer per array
+    subscript (~n_tokens*n times per row, an 11x slowdown measured at
+    sf0.1). transform over a 1-element array is the pure-projection
+    equivalent of a let-binding: no shuffle, streaming-safe."""
+    return F.transform(F.array(value), body)[0]
+
+
+def shingles(tokens: Column | str, n: int = 5) -> Column:
+    """Distinct word n-gram strings over a tokens array column/expression.
+    Total: arrays shorter than n yield an empty shingle list (guarded
+    per row — sequence() would otherwise descend on a negative span and
+    trip ANSI element_at, regardless of upstream filters)."""
+    t_in = F.col(tokens) if isinstance(tokens, str) else tokens
+
+    def body(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        built = F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+                ),
+            )
+        )
+        empty = F.array().cast(T.ArrayType(T.StringType()))
+        return F.when(F.size(t) >= n, built).otherwise(empty)
+
+    return let(t_in, body)
 
 
 def duck_shingles(n: int = 5) -> str:

@@ -41,6 +41,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Modules that register queries on import. Order = SURVEY §7 build order.
 _QUERY_MODULES = (
     "gmall2021_flink_dw_spark.plans.tpch",
+    "gmall2021_flink_dw_spark.plans.tpch_extra",
+    "gmall2021_flink_dw_spark.plans.union_stats",
     "gmall2021_flink_dw_spark.plans.log_pipeline",
     "gmall2021_flink_dw_spark.plans.order_pipeline",
     "gmall2021_flink_dw_spark.plans.stats",

@@ -69,6 +69,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # many distinct queries per session -> many generated classes; the
+        # default 240m JIT code cache fills and triggers multi-second
+        # deopt/flush stalls on later queries (observed in bench runs).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
         # parquet TIMESTAMP (isAdjustedToUTC=false) -> TIMESTAMP_NTZ, matching

@@ -199,8 +199,13 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     toks = with_tokens(docs).select(
         "doc_id", F.explode("__tokens").alias("token")
     )
-    counted = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    h = F.xxhash64("token")
+    # hash AFTER the aggregation: the agg is a projection-collapse
+    # barrier, so the 64 per-bit references below see one materialized
+    # hash value instead of 64 xxhash64 re-evaluations per row.
+    counted = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).withColumn("__h", F.xxhash64("token"))
+    h = F.col("__h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(

@@ -43,17 +43,23 @@ def marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
 def predict_lang(tokens: Column) -> Column:
     """Deterministic argmax over marker-hit counts, ties by declaration
     order. The reference has no language-ID; this is the standard n-gram
-    heuristic of a training-data pipeline, kept trivially SQL-expressible."""
-    expr = None
-    best = None
-    for lang, markers in LANG_MARKERS.items():
-        hits = marker_hits(tokens, markers)
-        if expr is None:
-            expr, best = F.lit(lang), hits
-        else:
-            expr = F.when(hits > best, F.lit(lang)).otherwise(expr)
-            best = F.when(hits > best, hits).otherwise(best)
-    return expr
+    heuristic of a training-data pipeline, kept trivially SQL-expressible.
+    The token array is let-bound so the producing expression (regexp
+    tokenizer) evaluates once, not once per marker comparison."""
+
+    def body(t: Column) -> Column:
+        expr = None
+        best = None
+        for lang, markers in LANG_MARKERS.items():
+            hits = marker_hits(t, markers)
+            if expr is None:
+                expr, best = F.lit(lang), hits
+            else:
+                expr = F.when(hits > best, F.lit(lang)).otherwise(expr)
+                best = F.when(hits > best, hits).otherwise(best)
+        return expr
+
+    return let(tokens, body)
 
 
 def duck_marker_hits(tokens_sql: str, markers: tuple[str, ...]) -> str:

@@ -205,3 +205,91 @@ def dws_product_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("line_ct"),
         )
     )
+
+
+_CVS_STT, _CVS_EDT = duck_window_bounds("ts", _HOUR)
+
+
+@register(
+    "dws_visitor_stats_compat",
+    oracle=f"""
+    WITH measures AS (
+      SELECT ts, event_id, event_type,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, date_trunc('day', ts)
+                    ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS uv_ct,
+             0 AS pv_ct,
+             CASE WHEN lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) > 1800*1000000
+                  THEN 1 ELSE 0 END AS sv_ct,
+             cast(value as decimal(18,2)) AS dur
+      FROM events
+    ), ranked AS (
+      SELECT {_CVS_STT}, {_CVS_EDT}, event_type, uv_ct, pv_ct, sv_ct, dur,
+             row_number() OVER (
+               PARTITION BY floor(epoch(ts)/{_HOUR}), event_type
+               ORDER BY ts, event_id) AS rn
+      FROM measures
+    )
+    SELECT stt, edt, event_type,
+           max(CASE WHEN rn = 1 THEN uv_ct END) AS uv_ct,
+           max(CASE WHEN rn = 1 THEN pv_ct END) AS pv_ct,
+           max(CASE WHEN rn = 1 THEN sv_ct END) AS sv_ct,
+           cast(sum(dur) as double) AS dur_sum
+    FROM ranked
+    GROUP BY stt, edt, event_type
+    """,
+    doc="COMPAT MODE: faithful replication of the reference's two "
+    "VisitorStats quirks — P7: the pv stream hands the reduce a pv_ct of "
+    "0 (VisitorStats constructor arg 8 gets 0L, VisitorStatsApp.java:86); "
+    "A2: the window reduce sums ONLY dur_sum, so every other measure "
+    "keeps the first-arriving element's value (VisitorStatsApp.java:"
+    "129-134). Batch-deterministic form: first element = first by "
+    "(ts, event_id). Default semantics live in dws_visitor_stats.",
+    tags=("dws", "agg", "window", "compat"),
+)
+def dws_visitor_stats_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w_day = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(ts_us).over(w_user)
+    measures = ev.select(
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.row_number().over(w_day) == 1, 1).otherwise(0).alias("uv_ct"),
+        F.lit(0).alias("pv_ct"),
+        F.when(
+            prev_us.isNull() | (ts_us - prev_us > 1800 * 1_000_000), 1
+        )
+        .otherwise(0)
+        .alias("sv_ct"),
+        F.col("value").cast("decimal(18,2)").alias("dur"),
+    ).withColumn("w", F.window("ts", f"{_HOUR} seconds"))
+    w_grp = Window.partitionBy("w", "event_type").orderBy("ts", "event_id")
+    ranked = measures.withColumn("rn", F.row_number().over(w_grp))
+    return (
+        ranked.groupBy("w", "event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("uv_ct"))).alias("uv_ct"),
+            F.max(F.when(F.col("rn") == 1, F.col("pv_ct"))).alias("pv_ct"),
+            F.max(F.when(F.col("rn") == 1, F.col("sv_ct"))).alias("sv_ct"),
+            F.sum("dur").cast("double").alias("dur_sum"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "event_type",
+            "uv_ct",
+            "pv_ct",
+            "sv_ct",
+            "dur_sum",
+        )
+    )

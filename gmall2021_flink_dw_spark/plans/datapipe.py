@@ -269,3 +269,49 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     docs = load_table(spark, sf_dir, "documents")
     return decode_features(attach_payload(docs))
+
+
+_EMB_DEDUP_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+                  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+                      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (a.nrm * b.nrm), 6) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          / (a.nrm * b.nrm) >= 0.6
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_EMB_DEDUP_ORACLE,
+    doc="Embedding-cosine near-dup pairs (threshold 0.6): exact all-pairs "
+    "at test scale with the double-precision fold oracle; the 100 TB "
+    "path reuses the sign-bucket index (candidates = same/adjacent "
+    "bucket) exactly like ann_bucketed — this exact form is its ground "
+    "truth.",
+    tags=("datapipe", "dedup", "ann"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.ann import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        pairs.withColumn("__sim", sim)
+        .filter(F.col("__sim") >= 0.6)
+        .select("vec_a", "vec_b", F.round("__sim", 6).alias("sim"))
+    )

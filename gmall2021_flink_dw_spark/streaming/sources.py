@@ -60,6 +60,17 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return stream
 
 
+def socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """S7 test source (FlinkDataStreamJoinTest.java:40,52): line stream
+    from a socket; parse with from_json downstream."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
 def kafka_stream(spark: SparkSession, topic: str, brokers: str) -> DataFrame:
     """S1/S2 production source (no broker in the test image — used on a
     real cluster): value bytes -> string, schema applied by the caller

@@ -178,7 +178,7 @@ def dwm_user_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
              value
       FROM marked
     )
-    SELECT user_id, session_id,
+    SELECT user_id, cast(session_id as bigint) AS session_id,
            count(*) AS n_events,
            cast(sum(cast(value as decimal(18,2))) as double) AS sv_value
     FROM sessions

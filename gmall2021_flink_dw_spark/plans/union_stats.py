@@ -42,11 +42,13 @@ from gmall2021_flink_dw_spark.sources.batch import load_table
       FROM events
     )
     SELECT user_id,
-           sum(view_ct) AS view_ct, sum(click_ct) AS click_ct,
-           sum(signup_ct) AS signup_ct, sum(purchase_ct) AS purchase_ct,
-           sum(error_ct) AS error_ct,
+           cast(sum(view_ct) as bigint) AS view_ct,
+           cast(sum(click_ct) as bigint) AS click_ct,
+           cast(sum(signup_ct) as bigint) AS signup_ct,
+           cast(sum(purchase_ct) as bigint) AS purchase_ct,
+           cast(sum(error_ct) as bigint) AS error_ct,
            cast(sum(purchase_amount) as double) AS purchase_amount,
-           sum(big_purchase_ct) AS big_purchase_ct
+           cast(sum(big_purchase_ct) as bigint) AS big_purchase_ct
     FROM unioned GROUP BY user_id
     """,
     doc="U1/P5/P6 ProductStats union pattern (ProductStatsApp.java:60-192): "

@@ -45,6 +45,12 @@ def test_oracle_parity(spark, duck, name):
     )
     assert len(got) == len(want), f"{name}: rowcount {len(got)} vs {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # stricter stringified compare (what a value-hash sees): catches
+    # dtype-representation drift that tolerant numeric equality hides,
+    # e.g. DuckDB HUGEINT sums surfacing as float64 ('1.0' vs '1').
+    gs = got.astype(str).sort_values(list(got.columns)).reset_index(drop=True)
+    ws = want.astype(str).sort_values(list(want.columns)).reset_index(drop=True)
+    assert (gs.values == ws.values).all(), f"{name}: stringified value drift"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

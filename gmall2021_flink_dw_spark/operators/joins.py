@@ -51,6 +51,100 @@ def interval_join(
     return left.join(right, cond, how)
 
 
+def asof_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    key: str,
+    fact_ts: str,
+    version_ts: str,
+    version_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join: attach the latest version row with
+    version_ts <= fact_ts per key. Spark has no native as-of join; the
+    scale-correct composition is a UNION of both keyed timelines + one
+    window pass (last non-null carried forward) — a single shuffle on
+    the key, never a per-fact range scan. This is the versioned-dim
+    (SCD2 / CDC history) lookup the reference approximates with
+    Phoenix point queries (DimUtil.java:23-26) but with time travel.
+
+    facts keep all their columns; version payload columns arrive as
+    `version_cols` (null when no version precedes the fact).
+    """
+    from pyspark.sql import Window
+
+    f = facts.withColumn("__ts", F.col(fact_ts).cast("long")).withColumn(
+        "__is_fact", F.lit(1)
+    )
+    v = versions.withColumn("__ts", F.col(version_ts).cast("long")).withColumn(
+        "__is_fact", F.lit(0)
+    )
+    fact_cols = [c for c in facts.columns]
+    timeline = f.select(
+        F.col(key).alias("__k"),
+        "__ts",
+        "__is_fact",
+        *[F.col(c).alias(f"__f_{c}") for c in fact_cols],
+        *[F.lit(None).cast(versions.schema[c].dataType).alias(f"__v_{c}") for c in version_cols],
+    ).unionByName(
+        v.select(
+            F.col(key).alias("__k"),
+            "__ts",
+            "__is_fact",
+            *[F.lit(None).cast(facts.schema[c].dataType).alias(f"__f_{c}") for c in fact_cols],
+            *[F.col(c).alias(f"__v_{c}") for c in version_cols],
+        )
+    )
+    # versions sort before facts at equal ts (__is_fact ascending) so a
+    # version effective exactly at fact_ts is visible to that fact.
+    w = Window.partitionBy("__k").orderBy("__ts", "__is_fact").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    carried = timeline.select(
+        "__k",
+        "__is_fact",
+        *[F.col(f"__f_{c}") for c in fact_cols],
+        *[
+            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__vc_{c}")
+            for c in version_cols
+        ],
+    )
+    return carried.filter(F.col("__is_fact") == 1).select(
+        *[F.col(f"__f_{c}").alias(c) for c in fact_cols],
+        *[F.col(f"__vc_{c}").alias(c) for c in version_cols],
+    )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant two-phase aggregation: pre-aggregate on
+    (keys, salt) so one hot key spreads over `salt_buckets` partial
+    groups, then merge partials per key. Only valid for decomposable
+    aggregates (sum/count/min/max) — the caller supplies the PARTIAL
+    expressions in `aggs` and the merge is a SUM-like re-aggregate of
+    the same column names (sum of sums, sum of counts, min of mins...).
+
+    `aggs` maps output column name -> (partial_expr, merge_fn_name).
+    """
+    # any row->bucket spread works: the merge phase is exact, so the
+    # final result is salt-independent. monotonically_increasing_id is
+    # the cheapest row-local spread (no hashing of possibly-long keys).
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    partial_exprs = [expr.alias(name) for name, (expr, _m) in aggs.items()]
+    pre = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*partial_exprs)
+    )
+    merge_exprs = []
+    for name, (_e, merge) in aggs.items():
+        merge_exprs.append(getattr(F, merge)(name).alias(name))
+    return pre.groupBy(*keys).agg(*merge_exprs)
+
+
 def enrich_dims(
     fact: DataFrame,
     dims: Sequence[tuple[DataFrame, Column]],

@@ -1,0 +1,290 @@
+"""Advanced operator queries: as-of join, native session windows,
+skew-salted aggregation, and deeper TPC-H shapes (correlated max,
+bi-national volume, returned-items top-N).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall2021_flink_dw_spark.operators.joins import asof_join, salted_aggregate
+from gmall2021_flink_dw_spark.registry import register
+from gmall2021_flink_dw_spark.sources.batch import load_table
+from gmall2021_flink_dw_spark.sources.cdc import (
+    ORDERS_CHANGELOG_ORACLE,
+    orders_changelog,
+)
+
+_DISC = "cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(4,2)))"
+
+
+@register(
+    "cdc_asof_enrich",
+    oracle=f"""
+    WITH cl AS ({ORDERS_CHANGELOG_ORACLE}),
+    timeline AS (
+      SELECT l_orderkey AS k, epoch_us(l_shipdate) AS ts, 1 AS is_fact,
+             l_orderkey, l_linenumber, NULL AS after_status
+      FROM lineitem
+      UNION ALL
+      SELECT id AS k, ts_us AS ts, 0 AS is_fact,
+             NULL, NULL, after_status
+      FROM cl
+    ), carried AS (
+      SELECT is_fact, l_orderkey, l_linenumber, ts,
+             last_value(after_status IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY ts, is_fact
+               ROWS UNBOUNDED PRECEDING) AS status_asof
+      FROM timeline
+    )
+    SELECT l_orderkey, l_linenumber, ts AS ship_ts_us, status_asof
+    FROM carried WHERE is_fact = 1
+    """,
+    doc="As-of join (no native Spark operator): each lineitem gets the "
+    "order's CDC status version effective at its shipdate — union of "
+    "both keyed timelines + one last-non-null window pass (single "
+    "shuffle on the key; the scale-correct SCD2/versioned-dim lookup, "
+    "vs the reference's point-in-time-less Phoenix point query "
+    "DimUtil.java:23-26).",
+    tags=("join", "asof", "cdc"),
+)
+def cdc_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_ts_us"),
+    )
+    versions = orders_changelog(spark, sf_dir).select(
+        "id", "ts_us", F.col("after_status").alias("status_asof")
+    )
+    out = asof_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        versions.withColumnRenamed("id", "k"),
+        key="k",
+        fact_ts="ship_ts_us",
+        version_ts="ts_us",
+        version_cols=["status_asof"],
+    )
+    return out.select(
+        F.col("k").alias("l_orderkey"), "l_linenumber", "ship_ts_us", "status_asof"
+    )
+
+
+@register(
+    "dws_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800*1000000
+                  THEN 1 ELSE 0 END AS is_entry
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_entry) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 1800*1000000 AS session_end_us,
+           count(*) AS n_events,
+           cast(sum(cast(value as decimal(18,2))) as double) AS sv_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc="W3 extension: Spark's NATIVE session_window (gap 30 min) — "
+    "dynamic-gap windows the reference cannot express (Flink session "
+    "windows unused there); oracle reconstructs the identical sessions "
+    "via lag+cumsum.",
+    tags=("dws", "session", "window"),
+)
+def dws_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end").cast("timestamp")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+            "sv_value",
+        )
+    )
+
+
+@register(
+    "dws_salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(cast(value as decimal(18,2))) as double) AS total
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-resistant aggregation: pre-aggregate on (key, salt) then "
+    "merge partials — a hot key spreads across 16 partial groups. "
+    "Result provably salt-independent (exact decomposable aggregates); "
+    "oracle is the plain aggregation.",
+    tags=("agg", "skew"),
+)
+def dws_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": (F.count(F.lit(1)), "sum"),
+            "total": (F.sum(F.col("value").cast("decimal(18,2)")), "sum"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("double").alias("total"),
+    )
+
+
+@register(
+    "tpch_q10_returns",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           cast(sum({_DISC}) as double) AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= timestamp '1996-01-01'
+      AND o_orderdate <  timestamp '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="Q10 returned-item losses: 4-way join + top-20 with total order.",
+    tags=("join", "agg", "topn", "bench"),
+)
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q15_topsupplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             cast(sum({_DISC}) as double) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= timestamp '1996-01-01'
+        AND l_shipdate <  timestamp '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="Q15 top supplier: aggregate-then-correlated-max (scalar subquery "
+    "against the derived view).",
+    tags=("join", "agg", "subquery", "bench"),
+)
+def tpch_q15_topsupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc).cast("double").alias("total_revenue")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q7_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           strftime(l_shipdate, '%Y') AS l_year,
+           cast(sum({_DISC}) as double) AS revenue
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3')
+        OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9'))
+      AND l_shipdate >= timestamp '1996-01-01'
+      AND l_shipdate <  timestamp '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    doc="Q7 bi-national shipping volume: 6-way join with a dual-aliased "
+    "dim (nation x2) and a disjunctive cross-nation predicate.",
+    tags=("join", "agg", "bench"),
+)
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_3")
+    ) | ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_9"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("l_year"),
+        )
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+    )

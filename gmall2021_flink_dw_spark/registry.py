@@ -42,6 +42,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 _QUERY_MODULES = (
     "gmall2021_flink_dw_spark.plans.tpch",
     "gmall2021_flink_dw_spark.plans.tpch_extra",
+    "gmall2021_flink_dw_spark.plans.tpch_full",
     "gmall2021_flink_dw_spark.plans.advanced",
     "gmall2021_flink_dw_spark.plans.union_stats",
     "gmall2021_flink_dw_spark.plans.log_pipeline",

@@ -33,6 +33,20 @@ HEADLINE = [
     "tpch_q14_promo",
     "tpch_q18_bigorders",
     "tpch_q19_disjunct",
+    "tpch_q2_mincost",
+    "tpch_q7_volume",
+    "tpch_q8_marketshare",
+    "tpch_q9_profit",
+    "tpch_q10_returns",
+    "tpch_q11_importance",
+    "tpch_q13_custdist",
+    "tpch_q15_topsupplier",
+    "tpch_q17_smallqty",
+    "tpch_q21_waiting",
+    "tpch_q22_inactive",
+    "cdc_asof_enrich",
+    "dws_session_window",
+    "dws_hopping_stats",
     "dwm_order_wide",
     "dwm_payment_wide",
     "dwm_unique_visit",

@@ -1,10 +1,11 @@
 """Similarity search over embedding columns.
 
 - brute_force_topk: exact cosine top-k — broadcast the (small) query set
-  against the base table; per-row cosine entirely in codegen'd
-  higher-order array functions (zip_with/aggregate), all math in double
-  (the float->double widening is done once, term order is sequential, so
-  the result is bit-identical to the DuckDB oracle's list_transform fold).
+  against the base table; cosine via higher-order array functions
+  (zip_with/aggregate). These folds are INTERPRETED by Catalyst (no
+  whole-stage codegen for lambda bodies), so norms are hoisted to one
+  eval per row and only the dot-product fold runs per pair; term order
+  is sequential, bit-identical to the DuckDB oracle's list fold.
 - bucketed_topk: sign-bucket ANN (the scale path): hash each vector to a
   2^d bucket by the signs of its first d dims; queries search only their
   bucket. At 100 TB the bucket id is the partition key, so a query scans
@@ -31,7 +32,11 @@ def _norm2(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / F.sqrt(_norm2(a) * _norm2(b))
+    return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_norm2(a))
 
 
 def as_double(col: str) -> Column:
@@ -42,13 +47,22 @@ def brute_force_topk(
     base: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine; ties broken by vec_id.
-    queries: (q_id, q_emb array<double>); base: (vec_id, emb array<double>)."""
+    queries: (q_id, q_emb array<double>); base: (vec_id, emb array<double>).
+
+    Norms are materialized once per ROW before the pair join (they are
+    pair-invariant): the per-pair work drops from three array folds to
+    one dot product — the folds are Catalyst higher-order functions
+    (interpreted, not codegen), so this is the dominant cost at any
+    scale. sim = dot / (nrm_a * nrm_b) matches the oracle's per-row-norm
+    formula term for term."""
     from pyspark.sql import Window
 
-    pairs = base.crossJoin(F.broadcast(queries)).filter(
-        F.col("vec_id") != F.col("q_id")
+    b = base.withColumn("__bn", norm(F.col("emb")))
+    q = queries.withColumn("__qn", norm(F.col("q_emb")))
+    pairs = b.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.withColumn(
+        "sim", _dot(F.col("emb"), F.col("q_emb")) / (F.col("__bn") * F.col("__qn"))
     )
-    scored = pairs.withColumn("sim", cosine(F.col("emb"), F.col("q_emb")))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -82,14 +96,18 @@ def bucketed_topk(base: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     replaces the cross join — the join key IS the partition key at scale."""
     from pyspark.sql import Window
 
-    b = base.withColumn("bucket", sign_bucket(F.col("emb")))
+    b = base.withColumn("bucket", sign_bucket(F.col("emb"))).withColumn(
+        "__bn", norm(F.col("emb"))
+    )
     q = queries.withColumn(
         "bucket", F.explode(probe_buckets(F.col("q_emb")))
-    )
+    ).withColumn("__qn", norm(F.col("q_emb")))
     pairs = b.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("q_id")
     )
-    scored = pairs.withColumn("sim", cosine(F.col("emb"), F.col("q_emb")))
+    scored = pairs.withColumn(
+        "sim", _dot(F.col("emb"), F.col("q_emb")) / (F.col("__bn") * F.col("__qn"))
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -288,3 +288,44 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(disc).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "dws_hopping_stats",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value, epoch_us(ts) AS te FROM events
+    ), w AS (
+      SELECT event_type, value,
+             unnest(generate_series((te // 600000000) * 600000000 - 1200000000,
+                                    (te // 600000000) * 600000000,
+                                    600000000)) AS ws
+      FROM e
+    )
+    SELECT ws, event_type, count(*) AS pv,
+           cast(sum(cast(value as decimal(18,2))) as double) AS sv
+    FROM w GROUP BY 1, 2
+    """,
+    doc="W3 extension: HOPPING window (size 30 min, slide 10 min) — each "
+    "event lands in 3 overlapping epoch-aligned windows. Native "
+    "F.window(size, slide); oracle replays the identical assignment "
+    "with generate_series over window starts. At scale the 3x row "
+    "expansion happens map-side inside the partial aggregate, so the "
+    "shuffle carries (window, key) partials, not exploded events.",
+    tags=("dws", "window", "hopping"),
+)
+def dws_hopping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start").cast("timestamp")).alias("ws"),
+            "event_type",
+            "pv",
+            "sv",
+        )
+    )

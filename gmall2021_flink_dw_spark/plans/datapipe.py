@@ -190,19 +190,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANN_ORACLE = """
-    WITH q AS (
-      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+                  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM v
+      WHERE vec_id < 10
     ), scored AS (
       SELECT q.q_id, e.vec_id,
              list_sum(list_transform(range(1, len(e.embedding)+1),
                       i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE))
-             / sqrt(
-                 list_sum(list_transform(range(1, len(e.embedding)+1),
-                          i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
-                 * list_sum(list_transform(range(1, len(q.q_emb)+1),
-                            i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE))
-             ) AS sim
-      FROM embeddings e CROSS JOIN q
+             / (e.nrm * q.q_nrm) AS sim
+      FROM v e CROSS JOIN q
       WHERE e.vec_id <> q.q_id
     )
     SELECT q_id, vec_id, rank, round(sim, 6) AS sim
@@ -218,8 +219,9 @@ _ANN_ORACLE = """
     "ann_topk",
     oracle=_ANN_ORACLE,
     doc="Exact cosine top-5 per query (query set = vec_id < 10, "
-    "broadcast): zip_with/aggregate double-precision fold entirely in "
-    "codegen — the baseline the bucketed ANN is measured against.",
+    "broadcast): per-row norms hoisted out of the pair loop, one "
+    "zip_with/aggregate dot fold per pair — the baseline the bucketed "
+    "ANN is measured against.",
     tags=("datapipe", "ann"),
 )
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,14 +288,14 @@ _EMB_DEDUP_ORACLE = """
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-          / (a.nrm * b.nrm) >= 0.6
+          / (a.nrm * b.nrm) >= 0.45
 """
 
 
 @register(
     "dedup_embedding_cosine",
     oracle=_EMB_DEDUP_ORACLE,
-    doc="Embedding-cosine near-dup pairs (threshold 0.6): exact all-pairs "
+    doc="Embedding-cosine near-dup pairs (threshold 0.45 — the synthetic embeddings are random, max pair sim ~0.51 at sf0.01, so 0.45 keeps the parity check non-vacuous): exact all-pairs "
     "at test scale with the double-precision fold oracle; the 100 TB "
     "path reuses the sign-bucket index (candidates = same/adjacent "
     "bucket) exactly like ann_bucketed — this exact form is its ground "
@@ -301,17 +303,27 @@ _EMB_DEDUP_ORACLE = """
     tags=("datapipe", "dedup", "ann"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gmall2021_flink_dw_spark.datapipe.ann import as_double, cosine
+    from gmall2021_flink_dw_spark.datapipe.ann import _dot, as_double, norm
 
+    # norms once per ROW before the O(n^2) pair join (per-pair work =
+    # one dot product fold) — same per-row nrm the oracle's CTE builds.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        norm(F.col("emb")).alias("__na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        norm(F.col("emb")).alias("__nb"),
+    )
     pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-    sim = cosine(F.col("ea"), F.col("eb"))
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("__na") * F.col("__nb"))
     return (
         pairs.withColumn("__sim", sim)
-        .filter(F.col("__sim") >= 0.6)
+        .filter(F.col("__sim") >= 0.45)
         .select("vec_a", "vec_b", F.round("__sim", 6).alias("sim"))
     )

@@ -101,12 +101,13 @@ def dws_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst's Expand (which doubles the shuffled rows when countDistinct
     # mixes with plain aggregates) — 2x faster at sf0.1 and strictly less
     # shuffle IO at 100 TB. Same answer as size(collect_set)/countDistinct.
+    # The part dim joins AFTER both phases: p_brand is functionally
+    # dependent on l_partkey, so enriching the (window, sku) result rows
+    # beats dragging the brand string through two shuffles of fact rows.
     pre = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(
+        li.groupBy(
             F.window("l_shipdate", f"{_DAY} seconds"),
             "l_partkey",
-            "p_brand",
             "l_orderkey",
         )
         .agg(
@@ -119,13 +120,14 @@ def dws_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        pre.groupBy("window", "l_partkey", "p_brand")
+        pre.groupBy("window", "l_partkey")
         .agg(
             F.sum("_qty").cast("double").alias("sku_num"),
             F.sum("_amount").cast("double").alias("order_amount"),
             F.count(F.lit(1)).alias("order_ct"),
             F.sum("_lines").alias("line_ct"),
         )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
             F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),

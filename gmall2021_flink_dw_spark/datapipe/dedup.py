@@ -74,7 +74,12 @@ def ngram_jaccard_pairs(
     before pairing — bounded join fan-out at the cost of exactness for
     low-Jaccard pairs (high-Jaccard pairs share many rare shingles).
     """
-    e = doc_shingles(docs, n)
+    # Persist the exploded shingle table: it feeds BOTH sides of the
+    # self-join, and Spark evaluates each DAG branch independently —
+    # without this the regexp tokenizer + shingle build runs twice. At
+    # 100 TB this is "materialize the inverted index before joining"
+    # (a checkpoint to storage); in-memory persist is the local form.
+    e = doc_shingles(docs, n).persist()
     if max_df is not None:
         df_counts = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         e = e.join(F.broadcast(df_counts.filter(F.col("__df") <= max_df)), "shingle")
@@ -109,10 +114,10 @@ def ngram_jaccard_pairs(
     return pairs
 
 
-def minhash_signatures(docs: DataFrame, n: int = 5) -> DataFrame:
-    """Per-doc MinHash signature: 32 min-aggregations over shingle hashes.
-    One explode + one groupBy — no all-pairs work."""
-    e = doc_shingles(docs, n).withColumn(
+def _signatures_from_exploded(e: DataFrame) -> DataFrame:
+    """MinHash signatures from an exploded (doc_id, n_grams, shingle)
+    table: 32 min-aggregations over universal-hashed shingle hashes."""
+    e = e.withColumn(
         # reduce the signed 64-bit hash into [0, 2^31) so the universal
         # hash products stay within long range (ANSI overflow checking).
         "h",
@@ -125,6 +130,12 @@ def minhash_signatures(docs: DataFrame, n: int = 5) -> DataFrame:
         for i, (a, b) in enumerate(PERM_PARAMS)
     ]
     return e.groupBy("doc_id").agg(F.first("n_grams").alias("n_grams"), *aggs)
+
+
+def minhash_signatures(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Per-doc MinHash signature: 32 min-aggregations over shingle hashes.
+    One explode + one groupBy — no all-pairs work."""
+    return _signatures_from_exploded(doc_shingles(docs, n))
 
 
 def minhash_lsh_candidates(sigs: DataFrame) -> DataFrame:
@@ -162,13 +173,24 @@ def minhash_lsh_pairs(
     docs: DataFrame, n: int = 5, threshold: float = 0.5
 ) -> DataFrame:
     """MinHash LSH candidates verified with exact Jaccard (computed only
-    for candidates — the 100 TB-scale near-dup path)."""
-    cand = minhash_lsh_candidates(minhash_signatures(docs, n))
+    for candidates — the 100 TB-scale near-dup path).
+
+    The (doc_id, grams) table is built ONCE and persisted: the signature
+    path and both sides of the candidate-verify join consume it, and
+    Spark recomputes unshared DAG branches — without the persist the
+    tokenizer runs three times over the corpus. At 100 TB the same
+    intermediate is a checkpointed table."""
     grams = (
         with_tokens(docs)
         .filter(F.size("__tokens") >= n)
         .select("doc_id", shingles("__tokens", n).alias("grams"))
+        .withColumn("n_grams", F.size("grams"))
+        .persist()
     )
+    exploded = grams.select(
+        "doc_id", "n_grams", F.explode("grams").alias("shingle")
+    )
+    cand = minhash_lsh_candidates(_signatures_from_exploded(exploded))
     ga = grams.select(
         F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
     )
@@ -230,7 +252,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     8-bit block (pigeonhole: hamming<=7 over 8 blocks guarantees one
     equal block), verified by full Hamming distance."""
     nb = SIMHASH_BLOCKS
-    sh = simhash(docs)
+    # the signature table feeds the block index (both self-join sides)
+    # AND both verify-join sides — persist or the whole tokenize+hash
+    # pipeline runs four times (one per DAG branch).
+    sh = simhash(docs).persist()
     blocks = sh.select(
         "doc_id",
         F.explode(

@@ -327,3 +327,135 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__sim") >= 0.45)
         .select("vec_a", "vec_b", F.round("__sim", 6).alias("sim"))
     )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, length(text) AS n_chars, {TOKENS_SQL} AS w
+               FROM documents)
+    SELECT doc_id, n_chars,
+           len(w) AS n_tokens,
+           round(list_sum(list_transform(w, x -> length(x)))::double / len(w), 6)
+             AS mean_token_len,
+           round((n_chars - list_sum(list_transform(w, x -> length(x))))::double
+                 / n_chars, 6) AS ws_ratio,
+           round(len(list_distinct(w))::double / len(w), 6) AS ttr,
+           round(list_max(list_transform(list_distinct(w),
+                 d -> len(list_filter(w, x -> x = d))))::double / len(w), 6)
+             AS rep_ratio,
+           (len(w) >= 10
+            AND len(list_distinct(w))::double / len(w) >= 0.3
+            AND list_max(list_transform(list_distinct(w),
+                  d -> len(list_filter(w, x -> x = d))))::double / len(w) <= 0.2)
+             AS passes
+    FROM t WHERE len(w) > 0
+    """,
+    doc="Quality scoring per document: mean token length, whitespace "
+    "ratio, type-token ratio, top-token repetition share, and a "
+    "documented pass gate (>=10 tokens, TTR>=0.3, rep<=0.2). All "
+    "ratios are exact-integer divisions done once in double, so both "
+    "engines round identically. (Punct/digit ratios omitted: the "
+    "synthetic corpus is lowercase word-only — they'd be constant 0.)",
+    tags=("datapipe", "text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    t = F.col("__tokens")
+    n_tok = F.size(t)
+    sum_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    uniq = F.size(F.array_distinct(t))
+    max_rep = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda d: F.size(F.filter(t, lambda x: x == d)),
+        )
+    )
+    ttr = uniq.cast("double") / n_tok
+    rep = max_rep.cast("double") / n_tok
+    return docs.filter(n_tok > 0).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(sum_len.cast("double") / n_tok, 6).alias("mean_token_len"),
+        F.round(
+            (F.length("text") - sum_len).cast("double") / F.length("text"), 6
+        ).alias("ws_ratio"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(rep, 6).alias("rep_ratio"),
+        ((n_tok >= 10) & (ttr >= 0.3) & (rep <= 0.2)).alias("passes"),
+    )
+
+
+@register(
+    "doc_winnow_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKENS_SQL} AS w FROM documents),
+    g AS (
+      SELECT doc_id, list_transform(range(1, len(w)-1),
+             i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS hs
+      FROM t WHERE len(w) >= 5
+    ), win AS (
+      SELECT doc_id, list_sort(list_distinct(list_transform(
+               range(1, len(hs)-1),
+               i -> list_aggregate(hs[i:i+2], 'min')))) AS fp
+      FROM g
+    )
+    SELECT doc_id, len(fp) AS n_fp,
+           md5(array_to_string(fp, ',')) AS fingerprint
+    FROM win
+    """,
+    doc="Winnowing document fingerprint (MOSS-style rolling hash): md5 "
+    "each token 3-gram in order, slide a window of 3 over the hash "
+    "sequence, keep the min per window, distinct+sort the kept hashes "
+    "— a compact fingerprint robust to local edits (any shared run of "
+    ">= window+gram tokens surfaces a shared selected hash). Pure "
+    "array expressions, one pass, no shuffle beyond the scan.",
+    tags=("datapipe", "text", "dedup"),
+)
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from gmall2021_flink_dw_spark.datapipe.text import let
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+
+    def fp_of(t):
+        # ordered (positional) 3-gram hashes — winnowing needs the
+        # sequence, not the distinct set
+        hs = F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                )
+            ),
+        )
+        return let(
+            hs,
+            lambda h: F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(h) - 2),
+                        lambda i: F.array_min(F.slice(h, i, 3)),
+                    )
+                )
+            ),
+        )
+
+    t = F.col("__tokens")
+    out = docs.filter(F.size(t) >= 5).select(
+        "doc_id", let(t, fp_of).alias("fp")
+    )
+    return out.select(
+        "doc_id",
+        F.size("fp").cast("bigint").alias("n_fp"),
+        F.md5(F.concat_ws(",", F.col("fp"))).alias("fingerprint"),
+    )

@@ -427,3 +427,71 @@ def tpch_q22_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q20_excess",
+    oracle=f"""
+    WITH supply AS ({_SUPPLY_SQL}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             sum(cast(l_quantity as decimal(18,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= timestamp '1996-01-01'
+        AND l_shipdate <  timestamp '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT ps_suppkey FROM supply
+      WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+        AND EXISTS (SELECT 1 FROM shipped
+                    WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                      AND qty > 50))
+    """,
+    doc="Q20 excess-inventory suppliers (adapted: 1996 shipped qty > 50 "
+    "per (part,supplier) stands in for availqty > half-year demand): a "
+    "nested semi-join chain part->supply->shipped->supplier, executed "
+    "as two broadcast semi-joins + one aggregate equi-semi-join.",
+    tags=("join", "semi", "subquery", "bench"),
+)
+def tpch_q20_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = _supply(spark, sf_dir)
+    small_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "SMALL"
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    qualifying = (
+        supply.join(
+            F.broadcast(small_parts),
+            supply.ps_partkey == small_parts.p_partkey,
+            "left_semi",
+        )
+        .join(
+            shipped,
+            (supply.ps_partkey == shipped.l_partkey)
+            & (supply.ps_suppkey == shipped.l_suppkey),
+            "left_semi",
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(
+            F.broadcast(qualifying), supp.s_suppkey == F.col("ps_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )

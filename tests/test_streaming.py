@@ -170,3 +170,62 @@ def test_stream_stream_interval_join(spark):
         assert _canon(got).equals(_canon(want))
     finally:
         q.stop()
+
+
+def test_hopping_window_equivalence(spark, events_stream):
+    """W3 extension: native sliding window under streaming — each event in
+    3 overlapping 30min/10min windows; emitted (closed) windows must
+    agree with the batch aggregation."""
+    def transform(df):
+        return (
+            df.groupBy(F.window("ts", "30 minutes", "10 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("pv"))
+            .select(
+                F.col("window.start").alias("ws"), "event_type", "pv"
+            )
+        )
+
+    q = run_to_memory(
+        transform(events_stream.withWatermark("ts", "1 minute")),
+        "hop_stream",
+        output_mode="append",
+    )
+    try:
+        got = spark.sql("select * from hop_stream").toPandas()
+        want = transform(load_table(spark, SF, "events")).toPandas()
+        assert len(got) > 0
+        want_sub = want[want.ws.isin(set(got.ws))]
+        pd.testing.assert_frame_equal(_canon(got), _canon(want_sub))
+    finally:
+        q.stop()
+
+
+def test_session_window_equivalence(spark, events_stream):
+    """Session windows (30 min gap) under streaming: closed sessions must
+    agree with the batch session_window aggregation."""
+    def transform(df):
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("session_window.start").alias("ss"),
+                "user_id",
+                "n_events",
+            )
+        )
+
+    q = run_to_memory(
+        transform(events_stream.withWatermark("ts", "1 minute")),
+        "sess_stream",
+        output_mode="append",
+    )
+    try:
+        got = spark.sql("select * from sess_stream").toPandas()
+        want = transform(load_table(spark, SF, "events")).toPandas()
+        assert len(got) > 0
+        # closed sessions only; key by (user, session start)
+        merged = got.merge(want, on=["ss", "user_id"], suffixes=("_s", "_b"))
+        assert len(merged) == len(got)
+        assert (merged.n_events_s == merged.n_events_b).all()
+    finally:
+        q.stop()

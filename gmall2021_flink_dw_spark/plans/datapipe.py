@@ -459,3 +459,23 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fp").cast("bigint").alias("n_fp"),
         F.md5(F.concat_ws(",", F.col("fp"))).alias("fingerprint"),
     )
+
+
+@register(
+    "ann_ivf",
+    oracle=None,
+    doc="IVF ANN (16 inverted lists, 4-probe): a coarse quantizer "
+    "partitions the corpus; each query scans only its 4 closest lists "
+    "(1/4 of the data; the list id is the partition key at scale). "
+    "Recall vs brute force asserted in tests/test_datapipe.py.",
+    tags=("datapipe", "ann", "ivf"),
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double("embedding").alias("emb"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), as_double("embedding").alias("q_emb")
+    )
+    return ivf_topk(base, queries, n_lists=16, n_probe=4, k=5)

@@ -73,3 +73,52 @@ def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def decode_features(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(decode_batch, schema=DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ts_ms long, frame_hash string, "
+    "frame_len int"
+)
+_FRAME_LEN = 64  # stub "frame" = fixed-size byte slice of the payload
+
+
+def sample_frames_stub(payload: bytes, every_ms: int = 1000) -> list[tuple]:
+    """Deterministic fake frame sampler: pretend the payload is a video
+    whose duration is len(payload) ms and cut one _FRAME_LEN-byte slice
+    per `every_ms`. A real ffmpeg-backed sampler has the identical
+    signature and output shape."""
+    import hashlib
+
+    n = len(payload)
+    frames = []
+    for idx, ts in enumerate(range(0, max(n, 1), every_ms)):
+        lo = ts % max(n - _FRAME_LEN, 1) if n > _FRAME_LEN else 0
+        sl = payload[lo : lo + _FRAME_LEN]
+        frames.append((idx, ts, hashlib.md5(sl).hexdigest(), len(sl)))
+    return frames
+
+
+def frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: explode each payload into sampled frames.
+    1->N output per input row — the batch shape a real decoder needs
+    (yielding multiple frames per video without collecting them all)."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "frame_idx": [], "frame_ts_ms": [],
+            "frame_hash": [], "frame_len": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for idx, ts, h, ln in sample_frames_stub(bytes(payload)):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_ts_ms"].append(ts)
+                out["frame_hash"].append(h)
+                out["frame_len"].append(ln)
+        yield pd.DataFrame(out).astype(
+            {"doc_id": "int64", "frame_idx": "int32",
+             "frame_ts_ms": "int64", "frame_len": "int32"}
+        )
+
+
+def sample_frames(with_payload: DataFrame) -> DataFrame:
+    return with_payload.mapInPandas(frame_sample_batch, schema=FRAME_SCHEMA)

@@ -479,3 +479,39 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), as_double("embedding").alias("q_emb")
     )
     return ivf_topk(base, queries, n_lists=16, n_probe=4, k=5)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, octet_length(text::BLOB) AS n
+               FROM documents),
+    f AS (
+      SELECT doc_id, text, n,
+             unnest(range(0, greatest(n, 1), 1000)) AS ts
+      FROM d
+    )
+    SELECT doc_id,
+           cast(ts // 1000 as int) AS frame_idx,
+           ts AS frame_ts_ms,
+           md5(substr(text,
+                      cast(CASE WHEN n > 64 THEN ts % greatest(n - 64, 1)
+                                ELSE 0 END + 1 as int),
+                      64)) AS frame_hash,
+           cast(least(64, n - CASE WHEN n > 64 THEN ts % greatest(n - 64, 1)
+                                   ELSE 0 END) as int) AS frame_len
+    FROM f
+    """,
+    doc="Multimodal frame sampling: 1->N mapInPandas stage cutting one "
+    "'frame' (deterministic stub slice; a real ffmpeg sampler drops "
+    "into the same signature) per second of pretend-duration from each "
+    "binary payload. Exercises the explode-shaped Arrow batch path a "
+    "video pipeline needs; oracle replays the slice arithmetic in SQL.",
+    tags=("datapipe", "multimodal", "udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.multimodal import sample_frames
+
+    ensure_workers_can_import(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(docs))

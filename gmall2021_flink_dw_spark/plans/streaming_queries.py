@@ -23,6 +23,7 @@ from gmall2021_flink_dw_spark.functions.windows import duck_window_bounds
 from gmall2021_flink_dw_spark.registry import register
 from gmall2021_flink_dw_spark.session import ensure_workers_can_import
 from gmall2021_flink_dw_spark.streaming.pipelines import (
+    product_stats_transform,
     run_to_memory,
     visitor_stats_transform,
 )
@@ -60,6 +61,42 @@ def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_table(spark, sf_dir, "events").withWatermark("ts", f"{_WM_S} seconds")
     ).drop("uv_ct_approx")
     name = f"svs_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(stream, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
+
+
+@register(
+    "streaming_exact_distinct",
+    oracle=f"""
+    WITH agg AS (
+      SELECT {_STT}, {_EDT}, event_type,
+             count(DISTINCT user_id) AS user_ct,
+             count(*) AS pv_ct,
+             cast(sum(cast(value as decimal(18,2))) as double) AS amount
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT stt, edt, event_type, user_ct, pv_ct, amount FROM agg
+    WHERE edt <= (
+      SELECT strftime(max(ts) - INTERVAL {_WM_S} SECOND, '%Y-%m-%d %H:%M:%S')
+      FROM events
+    )
+    """,
+    doc="A3 streaming EXACT COUNT(DISTINCT)-in-window (SURVEY 'hardest "
+    "items'): append mode cannot run COUNT(DISTINCT), so the reference's "
+    "HashSet-union accumulator (ProductStats.java:74-84) becomes "
+    "collect_set in the windowed state, size() on window close. The "
+    "oracle is the true distinct count over watermark-closed windows — "
+    "parity here proves the rewrite is exact, not approximate.",
+    tags=("streaming", "window", "agg", "distinct"),
+)
+def streaming_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = product_stats_transform(
+        stream_table(spark, sf_dir, "events").withWatermark(
+            "ts", f"{_WM_S} seconds"
+        )
+    )
+    name = f"sed_{uuid.uuid4().hex[:8]}"
     q = run_to_memory(stream, name, output_mode="append")
     q.stop()
     return spark.table(name)

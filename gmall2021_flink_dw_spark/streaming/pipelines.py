@@ -56,6 +56,35 @@ def uv_dedup_transform(df: DataFrame) -> DataFrame:
     )
 
 
+def product_stats_transform(df: DataFrame, window_s: int = 3600) -> DataFrame:
+    """A1/A3 streaming EXACT distinct-in-window (SURVEY 'hardest items'):
+    append-mode streaming cannot run COUNT(DISTINCT), so the reference's
+    HashSet-union accumulator (ProductStats.java:74-84, merged in the
+    window reduce ProductStatsApp.java:213-238) is re-expressed as
+    collect_set inside the windowed aggregation — the set lives in the
+    state store until the watermark closes the window, then size() is
+    the exact distinct count. Scale note: state per group is O(distinct
+    keys in window); the HLL path (visitor_stats_transform /
+    dws_product_stats_approx) is the bounded-memory variant for keys
+    whose per-window cardinality is unbounded at 100 TB."""
+    return (
+        df.groupBy(F.window("ts", f"{window_s} seconds"), "event_type")
+        .agg(
+            F.size(F.collect_set("user_id")).alias("user_ct"),
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("amount"),
+        )
+        .select(
+            F.date_format("window.start", FMT).alias("stt"),
+            F.date_format("window.end", FMT).alias("edt"),
+            "event_type",
+            "user_ct",
+            "pv_ct",
+            "amount",
+        )
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> StreamingQuery:

@@ -20,6 +20,7 @@ from gmall2021_flink_dw_spark.sources.batch import load_table
 from gmall2021_flink_dw_spark.sources.cdc import orders_changelog
 from gmall2021_flink_dw_spark.streaming.pipelines import (
     foreach_batch_router,
+    product_stats_transform,
     run_to_memory,
     uv_dedup_transform,
     visitor_stats_transform,
@@ -56,6 +57,77 @@ def test_windowed_agg_equivalence(spark, events_stream):
         pd.testing.assert_frame_equal(_canon(got), _canon(want_sub))
     finally:
         q.stop()
+
+
+def test_exact_distinct_in_window_equivalence(spark, events_stream):
+    """A3 streaming twin (SURVEY 'hardest items'): exact COUNT(DISTINCT)
+    inside a streaming window via the collect_set rewrite. Closed windows
+    must agree exactly with the batch aggregation — distinct counts
+    included."""
+    stream = product_stats_transform(
+        events_stream.withWatermark("ts", "11 seconds")
+    )
+    q = run_to_memory(stream, "ps_stream", output_mode="append")
+    try:
+        got = spark.sql("select * from ps_stream").toPandas()
+        want = product_stats_transform(load_table(spark, SF, "events")).toPandas()
+        assert len(got) > 0
+        want_sub = want[want.stt.isin(set(got.stt))]
+        pd.testing.assert_frame_equal(_canon(got), _canon(want_sub))
+    finally:
+        q.stop()
+
+
+def test_socket_source_live(spark):
+    """S7 socket source end-to-end: a real TCP server feeds lines to
+    format('socket'); the drained memory sink must hold exactly those
+    lines (MyKafkaUtil's test harness uses the same source,
+    FlinkDataStreamJoinTest.java:40,52)."""
+    import socket
+    import threading
+
+    from gmall2021_flink_dw_spark.streaming.sources import socket_stream
+
+    lines = ["alpha,1", "beta,2", "gamma,3"]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(("\n".join(lines) + "\n").encode())
+        stop.wait(timeout=30)  # keep the pipe open until the query drains
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    q = (
+        socket_stream(spark, "127.0.0.1", port)
+        .writeStream.format("memory")
+        .queryName("sock_stream")
+        .start()
+    )
+    try:
+        deadline = 30
+        import time
+
+        while deadline > 0:
+            q.processAllAvailable()
+            if spark.sql("select * from sock_stream").count() >= len(lines):
+                break
+            time.sleep(0.5)
+            deadline -= 0.5
+        got = sorted(
+            r.value for r in spark.sql("select * from sock_stream").collect()
+        )
+        assert got == sorted(lines)
+    finally:
+        stop.set()
+        q.stop()
+        srv.close()
 
 
 def test_uv_dedup_equivalence(spark, events_stream):

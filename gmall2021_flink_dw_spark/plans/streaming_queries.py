@@ -28,7 +28,10 @@ from gmall2021_flink_dw_spark.streaming.pipelines import (
     visitor_stats_transform,
 )
 from gmall2021_flink_dw_spark.streaming.sources import stream_table
-from gmall2021_flink_dw_spark.streaming.stateful import jump_detect_stream
+from gmall2021_flink_dw_spark.streaming.stateful import (
+    correct_new_user_stream,
+    jump_detect_stream,
+)
 
 _WM_S = 11  # VisitorStats out-of-orderness (VisitorStatsApp.java:101)
 
@@ -98,6 +101,31 @@ def streaming_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"sed_{uuid.uuid4().hex[:8]}"
     q = run_to_memory(stream, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
+
+
+@register(
+    "streaming_new_user_flag",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CASE WHEN row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) = 1
+                THEN '1' ELSE '0' END AS is_new
+    FROM events
+    """,
+    doc="W5/P11 under Structured Streaming: per-key unbounded ValueState "
+    "(applyInPandasWithState, NoTimeout) rewrites is_new to '0' for every "
+    "event after a key's first, exactly the reference's state-based "
+    "correction (BaseLogApp.java:55-77). Deterministic — every input row "
+    "is emitted with its flag, so the oracle is the full row_number form.",
+    tags=("streaming", "stateful"),
+)
+def streaming_new_user_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers_can_import(spark)
+    stream = correct_new_user_stream(stream_table(spark, sf_dir, "events"))
+    name = f"snu_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(stream, name)
     q.stop()
     return spark.table(name)
 

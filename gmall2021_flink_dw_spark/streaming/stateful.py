@@ -96,6 +96,56 @@ def _jump_fn(
         yield pd.DataFrame(out, columns=["user_id", "event_id", "ts_us"])
 
 
+NEW_USER_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("is_new", T.StringType()),
+    ]
+)
+NEW_USER_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def _new_user_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """W5/P11 streaming twin: per-key ValueState marks whether the key was
+    ever seen; the first-ever event keeps is_new='1', every later one is
+    rewritten to '0' (BaseLogApp.java:55-77 — unbounded ValueState, no
+    TTL, matching the reference). Within a micro-batch rows are ordered
+    by (ts, event_id) so replay matches the batch min-struct oracle."""
+    seen = state.get[0] if state.exists else False
+    user_id = key[0]
+    out: list[tuple[int, int, int, str]] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ev_id, ts_us in zip(pdf["event_id"], pdf["ts_us"]):
+            flag = "0" if seen else "1"
+            seen = True
+            out.append((user_id, int(ev_id), int(ts_us), flag))
+    state.update((True,))
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "ts_us", "is_new"])
+
+
+def correct_new_user_stream(events: DataFrame) -> DataFrame:
+    """W5 streaming form of operators/dedup.py::correct_new_user_flag.
+    `events` needs (user_id, event_id, ts). No timeout: the reference
+    keeps this state forever (no TTL configured on the ValueState)."""
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _new_user_fn,
+        NEW_USER_SCHEMA,
+        NEW_USER_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def jump_detect_stream(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
     """W7 streaming twin. `events` needs (user_id, event_id, ts)."""
     prepared = (

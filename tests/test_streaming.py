@@ -182,6 +182,34 @@ def test_jump_cep_equivalence(spark, events_stream):
         q.stop()
 
 
+def test_new_user_state_equivalence(spark, events_stream):
+    """W5/P11: keyed-ValueState new-user correction under streaming must
+    exactly match the batch min-struct oracle on replay."""
+    from gmall2021_flink_dw_spark.operators.dedup import correct_new_user_flag
+    from gmall2021_flink_dw_spark.streaming.stateful import (
+        correct_new_user_stream,
+    )
+
+    q = run_to_memory(correct_new_user_stream(events_stream), "nu_stream")
+    try:
+        got = spark.sql("select * from nu_stream").toPandas()
+        want = (
+            correct_new_user_flag(load_table(spark, SF, "events"))
+            .select(
+                "user_id",
+                "event_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                "is_new",
+            )
+            .toPandas()
+        )
+        assert len(got) == len(want)
+        pd.testing.assert_frame_equal(_canon(got), _canon(want))
+        assert (got.groupby("user_id").is_new.apply(lambda s: (s == "1").sum()) == 1).all()
+    finally:
+        q.stop()
+
+
 def test_foreach_batch_router(spark):
     """K2/K4: one foreachBatch pass fans records out per sink_table."""
     out = tempfile.mkdtemp(prefix="router_")

@@ -1,0 +1,151 @@
+"""Physical-plan audit: structural scale properties of every query.
+
+Correctness says the answer is right at sf0.01; this file says the PLAN
+is the one you'd want at 100 TB. For each registered batch query we
+compile (not execute) the physical plan at sf0.001 and assert:
+
+1. No CartesianProduct / BroadcastNestedLoopJoin, except in the
+   explicitly-allowlisted pairwise-similarity queries whose semantics
+   ARE a bounded pair enumeration (bucketed self-joins keep an equi
+   component; the allowlist documents which queries intentionally
+   enumerate pairs after bucketing).
+2. Small-dimension joins broadcast: a query that joins nation / region
+   / part / supplier / customer must show a BroadcastHashJoin (or have
+   Catalyst fold the join away) — never a shuffle join of a fact table
+   against a tiny dim.
+3. Scan hygiene for the flagship filter query (tpch_q6): filters reach
+   the parquet scan as PushedFilters and the ReadSchema is pruned to
+   the referenced columns only.
+4. Hot batch paths stay in whole-stage codegen: every bench-tagged
+   query's plan contains WholeStageCodegen spans, and TPC-H plans keep
+   Python row UDFs (BatchEvalPython) out entirely; Arrow-batched
+   stages (ArrowEvalPython / mapInPandas) are the only sanctioned
+   Python entry points anywhere.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from gmall2021_flink_dw_spark.registry import load_all
+from tests.conftest import UNIT_SF
+
+REGISTRY = load_all()
+
+# Streaming queries spin an actual query in fn(); audit batch plans only.
+BATCH = {
+    n: s for n, s in REGISTRY.items() if "streaming" not in s.tags
+}
+
+# Pairwise-similarity queries: the pair enumeration IS the operator.
+# Each bounds the pair space before enumerating (band/bucket equi-join
+# or block-local mapInPandas), so the nested-loop node ranges over a
+# bucket, not the full table.
+PAIRWISE_ALLOWED = {
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "ann_bucketed",
+    "ann_ivf",
+}
+
+# Global-scalar-threshold queries: the build side is a 1-row aggregate
+# (sum(...)*fraction, count+sum pair) compared by inequality — a
+# BroadcastNestedLoopJoin over a single broadcast row is the canonical
+# plan and costs O(n) regardless of scale.
+SCALAR_THRESHOLD_ALLOWED = {"tpch_q11_importance", "tpch_q22_inactive"}
+
+DIM_TABLES = ("nation", "region", "part.parquet", "supplier", "customer")
+
+
+def plan_of(spark, name: str) -> str:
+    """Compile (don't execute) the physical plan with AQE off: the static
+    Catalyst plan exposes WholeStageCodegen/join/scan nodes directly,
+    where the unexecuted AQE wrapper hides them until runtime. AQE only
+    re-optimizes this plan at stage boundaries, so the static structure
+    is the right audit surface."""
+    df = REGISTRY[name].fn(spark, UNIT_SF)
+    # the table loader self-heals adaptive.enabled=true, so flip it off
+    # only between DataFrame construction and (lazy) physical planning
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+@pytest.mark.parametrize("name", sorted(BATCH))
+def test_no_accidental_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    nested = ("CartesianProduct" in plan) or (
+        "BroadcastNestedLoopJoin" in plan
+    )
+    if name in PAIRWISE_ALLOWED | SCALAR_THRESHOLD_ALLOWED:
+        return  # pair enumeration / 1-row threshold build by design
+    assert not nested, (
+        f"{name}: unexpected cartesian/nested-loop join — "
+        "an equi-join key was probably lost"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n, s in BATCH.items()
+        if ("join" in s.tags or n.startswith("tpch") or n.startswith("dws"))
+    ),
+)
+def test_dim_joins_broadcast(spark, name):
+    plan = plan_of(spark, name)
+    scans = set(re.findall(r"FileScan parquet \[[^\]]*\]", plan))
+    touches_dim = any(d in plan for d in DIM_TABLES) and "lineitem" in plan
+    if not touches_dim or "Join" not in plan:
+        pytest.skip("no fact-dim join in this plan")
+    # A fact-dim query must broadcast at least one side somewhere.
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+        f"{name}: fact-dim join without any broadcast\n"
+        + "\n".join(sorted(scans))
+    )
+
+
+def test_q6_scan_hygiene(spark):
+    # toString truncates long FileScan lines; formatted explain keeps the
+    # full PushedFilters / ReadSchema attributes
+    df = REGISTRY["tpch_q6"].fn(spark, UNIT_SF)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "tpch_q6: no filters pushed to scan"
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs is not None
+    cols = [c.split(":")[0] for c in rs.group(1).split(",") if c]
+    assert len(cols) <= 4, f"tpch_q6 reads too many columns: {cols}"
+    assert "l_comment" not in cols, "column pruning failed"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in BATCH.items() if "bench" in s.tags)
+)
+def test_bench_paths_codegen_no_python(spark, name):
+    plan = plan_of(spark, name)
+    # "*(N)" prefixes mark operators inside a WholeStageCodegen stage in
+    # the physical plan's toString rendering
+    assert "*(" in plan, f"{name}: no codegen span"
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in a bench path"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(BATCH))
+def test_no_row_python_udfs_anywhere(spark, name):
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF — use a pandas UDF "
+        "(ArrowEvalPython) or mapInPandas instead"
+    )

@@ -515,3 +515,123 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_payload(docs))
+
+
+@register(
+    "sample_hash_bucket",
+    oracle="""
+    SELECT doc_id,
+           (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)
+             AS bucket
+    FROM documents
+    WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100) < 5
+    """,
+    doc="Deterministic hash-mod sampling: bucket = md5(key) first 8 hex "
+    "chars mod 100, keep bucket < rate. THE reproducible way to sample "
+    "at 100 TB — no RNG state, stable under re-runs/retries/partition "
+    "reshuffles, and composable (bucket ranges partition the corpus "
+    "into disjoint deterministic folds). Pure codegen expressions; the "
+    "filter prunes before any downstream shuffle.",
+    tags=("datapipe", "sampling"),
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return docs.select("doc_id", bucket.alias("bucket")).filter(
+        F.col("bucket") < 5
+    )
+
+
+_REDACT_PAT = r"\b\w+ing\b"
+
+
+@register(
+    "text_redact",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_REDACT_PAT}')) AS n_redactions,
+           md5(regexp_replace(text, '{_REDACT_PAT}', '[MASK]', 'g'))
+             AS redacted_fp
+    FROM documents
+    """,
+    doc="Pattern redaction (the PII-masking machinery: the pattern is a "
+    "parameter — swap in email/phone/SSN regexes for a real corpus; the "
+    "synthetic corpus is lowercase words, so the demo pattern masks "
+    "'-ing' words). regexp_replace replaces ALL matches JVM-side; the "
+    "redaction count comes from regexp_extract_all. Output carries the "
+    "md5 of the redacted text, not the text — the oracle row stays "
+    "small and the full rewrite is still value-checked.",
+    tags=("datapipe", "text", "redact"),
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_REDACT_PAT), F.lit(0)))
+        .cast("bigint")
+        .alias("n_redactions"),
+        F.md5(F.regexp_replace("text", _REDACT_PAT, "[MASK]")).alias(
+            "redacted_fp"
+        ),
+    )
+
+
+@register(
+    "corpus_clean",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {TOKENS_SQL} AS w FROM documents),
+    q AS (
+      SELECT doc_id, text, w FROM t
+      WHERE len(w) >= 10
+        AND len(list_distinct(w))::double / len(w) >= 0.3
+        AND list_max(list_transform(list_distinct(w),
+              d -> len(list_filter(w, x -> x = d))))::double / len(w) <= 0.2
+    ), d AS (
+      SELECT doc_id, w,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM q
+    )
+    SELECT doc_id, {duck_predict_lang("w")} AS predicted_lang,
+           len(w) AS n_tokens
+    FROM d WHERE rn = 1
+    """,
+    doc="Flagship corpus-cleaning composition — the end-to-end shape of "
+    "a training-data prep job: quality gate (>=10 tokens, TTR>=0.3, "
+    "max-repetition<=0.2) -> exact dedup among survivors (min-doc_id "
+    "per content fingerprint) -> language tag. One scan, one shuffle "
+    "(the dedup window); the quality gate prunes rows BEFORE the "
+    "shuffle, which is the ordering that matters at 100 TB.",
+    tags=("datapipe", "text", "dedup", "quality"),
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    t = F.col("__tokens")
+    n_tok = F.size(t)
+    uniq = F.size(F.array_distinct(t))
+    max_rep = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda d: F.size(F.filter(t, lambda x: x == d)),
+        )
+    )
+    quality = docs.filter(
+        (n_tok >= 10)
+        & (uniq.cast("double") / n_tok >= 0.3)
+        & (max_rep.cast("double") / n_tok <= 0.2)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        quality.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            predict_lang(t).alias("predicted_lang"),
+            n_tok.cast("bigint").alias("n_tokens"),
+        )
+    )

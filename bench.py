@@ -60,8 +60,18 @@ HEADLINE = [
     "ads_top_parts",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_topk",
+    "ann_bucketed",
+    "ann_ivf",
     "text_stats",
+    "text_quality",
+    "text_redact",
+    "sample_hash_bucket",
+    "doc_winnow_fingerprint",
+    "corpus_clean",
+    "multimodal_frame_sample",
 ]
 
 

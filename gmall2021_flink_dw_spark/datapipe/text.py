@@ -92,6 +92,29 @@ def let(value: Column, body) -> Column:
     return F.transform(F.array(value), body)[0]
 
 
+def max_token_repetition(tokens: Column) -> Column:
+    """Max occurrence count of any single token: sort the array, then one
+    run-length fold — O(n log n) + O(n) lambda evals per row, vs the
+    naive distinct x filter scan at O(distinct * n). Same exact integer
+    either way (the DuckDB oracles keep the naive form; only the Spark
+    hot path changes). Matters for long documents: a 10k-token doc costs
+    ~10k fold steps here vs ~10^7 comparisons naively."""
+    st = F.array_sort(tokens)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.best, run).alias("best"),
+        )
+
+    return F.aggregate(st, acc0, merge, lambda acc: acc.best)
+
+
 def shingles(tokens: Column | str, n: int = 5) -> Column:
     """Distinct word n-gram strings over a tokens array column/expression.
     Total: arrays shorter than n yield an empty shingle list (guarded

@@ -33,6 +33,7 @@ from gmall2021_flink_dw_spark.datapipe.text import (
     duck_predict_lang,
     duck_shingles,
     marker_hits,
+    max_token_repetition,
     predict_lang,
     with_tokens,
 )
@@ -361,12 +362,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     uniq = F.size(F.array_distinct(t))
-    max_rep = F.array_max(
-        F.transform(
-            F.array_distinct(t),
-            lambda d: F.size(F.filter(t, lambda x: x == d)),
-        )
-    )
+    max_rep = max_token_repetition(t)
     ttr = uniq.cast("double") / n_tok
     rep = max_rep.cast("double") / n_tok
     return docs.filter(n_tok > 0).select(
@@ -606,12 +602,7 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("__tokens")
     n_tok = F.size(t)
     uniq = F.size(F.array_distinct(t))
-    max_rep = F.array_max(
-        F.transform(
-            F.array_distinct(t),
-            lambda d: F.size(F.filter(t, lambda x: x == d)),
-        )
-    )
+    max_rep = max_token_repetition(t)
     quality = docs.filter(
         (n_tok >= 10)
         & (uniq.cast("double") / n_tok >= 0.3)

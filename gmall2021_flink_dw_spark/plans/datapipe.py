@@ -618,3 +618,71 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_tok.cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+    doc="Stratified deterministic sampling: fixed-size sample per "
+    "stratum (lang) by ranking on a content-independent hash — the "
+    "grouped form of hash-bucket sampling. No RNG state, stable under "
+    "re-runs, one shuffle on the stratum key; at 100 TB the same plan "
+    "with rank pushed into a windowed top-k per partition (Spark "
+    "evaluates row_number streaming per group, no full sort "
+    "materialization).",
+    tags=("datapipe", "sampling", "window-function"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+@register(
+    "vocab_top_tokens",
+    oracle=f"""
+    SELECT token, n_docs, n_total FROM (
+      SELECT token,
+             count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_total,
+             row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+      FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents)
+      GROUP BY token
+    ) WHERE rk <= 50
+    """,
+    doc="Corpus vocabulary statistics: explode tokens, per-token "
+    "document frequency (exact distinct) + total occurrences, top-50 by "
+    "frequency — the vocab-building / BPE-corpus-stats shape. Two-phase "
+    "distinct via pre-aggregation on (token, doc_id) keeps the Expand "
+    "out of the fact shuffle; the final top-N is TakeOrderedAndProject "
+    "(no global sort).",
+    tags=("datapipe", "text", "agg", "topn"),
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode("__tokens").alias("token"))
+    pre = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    counts = pre.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("c").alias("n_total")
+    )
+    return (
+        counts.orderBy(F.col("n_total").desc(), "token")
+        .limit(50)
+        .select("token", "n_docs", "n_total")
+    )

@@ -118,12 +118,13 @@ def _new_user_fn(
     seen = state.get[0] if state.exists else False
     user_id = key[0]
     out: list[tuple[int, int, int, str]] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        for ev_id, ts_us in zip(pdf["event_id"], pdf["ts_us"]):
-            flag = "0" if seen else "1"
-            seen = True
-            out.append((user_id, int(ev_id), int(ts_us), flag))
+    # concat BEFORE sorting: a key's rows may span multiple Arrow chunks,
+    # and per-chunk sorting would misplace the first-ever event
+    rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+    for ev_id, ts_us in zip(rows["event_id"], rows["ts_us"]):
+        flag = "0" if seen else "1"
+        seen = True
+        out.append((user_id, int(ev_id), int(ts_us), flag))
     state.update((True,))
     yield pd.DataFrame(out, columns=["user_id", "event_id", "ts_us", "is_new"])
 

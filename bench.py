@@ -69,6 +69,8 @@ HEADLINE = [
     "text_quality",
     "text_redact",
     "sample_hash_bucket",
+    "sample_stratified",
+    "vocab_top_tokens",
     "doc_winnow_fingerprint",
     "corpus_clean",
     "multimodal_frame_sample",

@@ -332,3 +332,83 @@ def dws_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_ct",
         )
     )
+
+
+@register(
+    "ads_order_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` == "
+    "DuckDB quantile_cont, both linear interpolation — verified "
+    "bit-identical; round(6) guards edge interpolation). The 100 TB "
+    "path swaps in percentile_approx (t-digest sketch, mergeable, "
+    "single pass) — exact percentile needs a per-group sort and is the "
+    "ground truth the sketch is measured against.",
+    tags=("ads", "agg", "quantile"),
+)
+def ads_order_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "dws_sales_cube",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           grouping(r_name) AS g_region,
+           grouping(n_name) AS g_nation,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+             AS order_amount,
+           count(*) AS order_ct
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation   ON c_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, n_name)
+    """,
+    doc="CUBE over (region, nation): all four grouping sets incl. the "
+    "nation-only marginals ROLLUP lacks; GROUPING() flags disambiguate "
+    "aggregated-away NULLs. Catalyst Expand-based like rollup — "
+    "grouping-set surface beyond the reference.",
+    tags=("dws", "cube", "agg"),
+)
+def dws_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.cube("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("bigint").alias("g_region"),
+            F.grouping("n_name").cast("bigint").alias("g_nation"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("order_amount"),
+            F.count(F.lit(1)).alias("order_ct"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "g_region",
+            "g_nation",
+            "order_amount",
+            "order_ct",
+        )
+    )

@@ -58,6 +58,8 @@ HEADLINE = [
     "dws_event_measures",
     "ads_top_brands",
     "ads_top_parts",
+    "ads_order_quantiles",
+    "dws_sales_cube",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -90,17 +90,22 @@ def main() -> None:
     # timed query doesn't pay session startup.
     registry["tpch_q6"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Two full passes, per-query min across passes: the first execution
+    # A renamed/typo'd headline entry must fail loudly, not silently
+    # shrink the benchmark (which would read as a speedup).
+    unknown = [n for n in HEADLINE if n not in registry]
+    assert not unknown, f"HEADLINE names missing from registry: {unknown}"
+
+    # Three full passes, per-query min across passes: the first execution
     # of each generated-code class pays multi-second JIT compilation
-    # stalls (measured: 2-4s of compiler time on cold queries); pass 2
-    # runs warm and reflects the steady-state cost a cluster would see.
-    # Back-to-back repeats of one query do NOT escape the stall, full
-    # passes do.
+    # stalls (measured: 2-4s of compiler time on cold queries); later
+    # passes run warm and reflect the steady-state cost a cluster would
+    # see. Back-to-back repeats of one query do NOT escape the stall,
+    # full passes do. min-of-3 also damps co-tenant contention: local[32]
+    # saturates the box, so any co-running JVM inflates a single pass
+    # 2-4x (documented in BASELINE.md).
     times: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
-            if name not in registry:
-                continue
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -71,26 +71,44 @@ def asof_join(
     `version_cols` (null when no version precedes the fact).
     """
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
-    f = facts.withColumn("__ts", F.col(fact_ts).cast("long")).withColumn(
-        "__is_fact", F.lit(1)
+    def order_key(df: DataFrame, col: str) -> Column:
+        # microsecond-precise ordering for timestamp columns (a plain
+        # cast('long') truncates to whole seconds, losing sub-second
+        # order between a version and a fact in the same second);
+        # numeric columns pass through unchanged.
+        dt = df.schema[col].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            return F.unix_micros(F.col(col).cast("timestamp"))
+        return F.col(col).cast("long")
+
+    # Scale design: the window pass (the one wide stage) shuffles ONLY
+    # the distinct (key, ts) fact timeline + the version rows — never
+    # the fact payload. The as-of value depends only on (key, ts), so
+    # resolving per distinct pair is lossless; the resolved lookup is
+    # then equi-joined back to the facts (AQE broadcasts it when small,
+    # so wide facts often avoid shuffling entirely).
+    f_keys = (
+        facts.select(
+            F.col(key).alias("__k"), order_key(facts, fact_ts).alias("__ts")
+        )
+        .distinct()
+        .withColumn("__is_fact", F.lit(1))
     )
-    v = versions.withColumn("__ts", F.col(version_ts).cast("long")).withColumn(
-        "__is_fact", F.lit(0)
-    )
-    fact_cols = [c for c in facts.columns]
-    timeline = f.select(
-        F.col(key).alias("__k"),
+    timeline = f_keys.select(
+        "__k",
         "__ts",
         "__is_fact",
-        *[F.col(c).alias(f"__f_{c}") for c in fact_cols],
-        *[F.lit(None).cast(versions.schema[c].dataType).alias(f"__v_{c}") for c in version_cols],
+        *[
+            F.lit(None).cast(versions.schema[c].dataType).alias(f"__v_{c}")
+            for c in version_cols
+        ],
     ).unionByName(
-        v.select(
+        versions.select(
             F.col(key).alias("__k"),
-            "__ts",
-            "__is_fact",
-            *[F.lit(None).cast(facts.schema[c].dataType).alias(f"__f_{c}") for c in fact_cols],
+            order_key(versions, version_ts).alias("__ts"),
+            F.lit(0).alias("__is_fact"),
             *[F.col(c).alias(f"__v_{c}") for c in version_cols],
         )
     )
@@ -99,17 +117,28 @@ def asof_join(
     w = Window.partitionBy("__k").orderBy("__ts", "__is_fact").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    carried = timeline.select(
-        "__k",
-        "__is_fact",
-        *[F.col(f"__f_{c}") for c in fact_cols],
-        *[
-            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__vc_{c}")
-            for c in version_cols
-        ],
+    resolved = (
+        timeline.select(
+            "__k",
+            "__ts",
+            "__is_fact",
+            *[
+                F.last(F.col(f"__v_{c}"), ignorenulls=True)
+                .over(w)
+                .alias(f"__vc_{c}")
+                for c in version_cols
+            ],
+        )
+        .filter(F.col("__is_fact") == 1)
+        .drop("__is_fact")
     )
-    return carried.filter(F.col("__is_fact") == 1).select(
-        *[F.col(f"__f_{c}").alias(c) for c in fact_cols],
+    joined = facts.join(
+        resolved,
+        F.col(key).eqNullSafe(F.col("__k"))
+        & order_key(facts, fact_ts).eqNullSafe(F.col("__ts")),
+    )
+    return joined.select(
+        *[F.col(c) for c in facts.columns],
         *[F.col(f"__vc_{c}").alias(c) for c in version_cols],
     )
 

@@ -30,8 +30,11 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     global _PKG_ZIP
     if _PKG_ZIP is None:
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        # per-process archive name: a shared fixed path lets two
+        # concurrent drivers (bench + pytest) overwrite the zip while
+        # another context is shipping it to executors.
         base = os.path.join(
-            tempfile.gettempdir(), "gmall2021_flink_dw_spark_pkg"
+            tempfile.gettempdir(), f"gmall2021_flink_dw_spark_pkg_{os.getpid()}"
         )
         _PKG_ZIP = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir),
                                        os.path.basename(pkg_dir))

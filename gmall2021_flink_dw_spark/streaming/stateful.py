@@ -65,10 +65,15 @@ def _jump_fn(
     out: list[tuple[int, int, int]] = []
 
     if state.hasTimedOut:
-        # watermark passed pending+timeout with no successor -> bounce
+        # watermark passed pending+timeout with no successor -> bounce.
+        # Keep the session context (last_us): dropping the whole state
+        # here would make a later event arriving within session_gap of
+        # the previous activity look like a fresh session entry — a
+        # bounce the batch oracle never emits. No timer re-armed:
+        # nothing is pending.
         if pend_us is not None:
             out.append((user_id, pend_event, pend_us))
-        state.remove()
+        state.update((last_us, None, None))
         if out:
             yield pd.DataFrame(out, columns=["user_id", "event_id", "ts_us"])
         return

@@ -66,13 +66,25 @@ def doc_shingles(docs: DataFrame, n: int = 5) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 5, threshold: float = 0.5, max_df: int | None = None
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+    df_floor: int = 5,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via inverted-index join on shingles.
 
-    max_df (scale knob): drop shingles appearing in more than max_df docs
-    before pairing — bounded join fan-out at the cost of exactness for
-    low-Jaccard pairs (high-Jaccard pairs share many rare shingles).
+    max_df / max_df_frac (scale knob): drop shingles appearing in more
+    than max_df docs (or max_df_frac of the corpus, floored at df_floor
+    docs so tiny corpora keep everything) before pairing. The join
+    fan-out is sum over shingles of df^2 — one ubiquitous shingle is
+    quadratic in corpus size, so at 100x data the cap is what keeps the
+    plan bounded. High-Jaccard pairs share many RARE shingles, so the
+    cap costs recall only for pairs near the threshold (measured in
+    tests/test_datapipe.py); na/nb keep the uncapped shingle counts, so
+    surviving pairs' Jaccard values are unchanged or lowered, never
+    inflated.
     """
     # Persist the exploded shingle table: it feeds BOTH sides of the
     # self-join, and Spark evaluates each DAG branch independently —
@@ -80,9 +92,25 @@ def ngram_jaccard_pairs(
     # 100 TB this is "materialize the inverted index before joining"
     # (a checkpoint to storage); in-memory persist is the local form.
     e = doc_shingles(docs, n).persist()
-    if max_df is not None:
+    if max_df is not None or max_df_frac is not None:
         df_counts = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        e = e.join(F.broadcast(df_counts.filter(F.col("__df") <= max_df)), "shingle")
+        if max_df is not None:
+            hot = df_counts.filter(F.col("__df") > max_df)
+        else:
+            # relative cap: greatest(df_floor, ceil(frac * n_docs)),
+            # n_docs computed lazily (1-row agg, broadcast) so the
+            # builder stays action-free.
+            total = e.agg(F.count_distinct("doc_id").alias("__n"))
+            hot = df_counts.crossJoin(F.broadcast(total)).filter(
+                F.col("__df")
+                > F.greatest(
+                    F.lit(df_floor), F.ceil(F.lit(max_df_frac) * F.col("__n"))
+                )
+            )
+        # anti-join the HOT set (small by construction — only shingles
+        # above the cap); broadcasting the kept set would ship nearly
+        # the whole vocabulary to every executor.
+        e = e.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     # Force a partitioned (shuffle-hash) self-join: Catalyst's size
     # estimate for exploded output is the pre-explode size, which makes
     # it broadcast the full shingle table — fatal at 100 TB. The equi key

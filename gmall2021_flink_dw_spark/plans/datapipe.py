@@ -123,8 +123,14 @@ _JACCARD_ORACLE = f"""
       SELECT doc_id, {duck_shingles(5)} AS grams
       FROM (SELECT doc_id, {TOKENS_SQL} AS w FROM documents)
       WHERE len(w) >= 5
-    ), e AS (
+    ), e0 AS (
       SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS shingle FROM g
+    ), hot AS (
+      SELECT shingle FROM e0 GROUP BY shingle
+      HAVING count(*) > greatest(5,
+             ceil(0.01 * (SELECT count(DISTINCT doc_id) FROM e0)))
+    ), e AS (
+      SELECT e0.* FROM e0 ANTI JOIN hot USING (shingle)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            count(*) AS inter,
@@ -142,15 +148,23 @@ _JACCARD_ORACLE = f"""
 @register(
     "dedup_ngram_jaccard",
     oracle=_JACCARD_ORACLE,
-    doc="Exact near-dup pairs: word-5-gram shingles, inverted-index "
-    "self-join (cost ~ sum df^2 per shingle, not n^2 all-pairs), exact "
-    "Jaccard >= 0.5. The ground truth the LSH variants are measured "
-    "against.",
+    doc="Near-dup pairs: word-5-gram shingles, inverted-index self-join "
+    "(cost ~ sum df^2 per shingle, not n^2 all-pairs), exact Jaccard "
+    ">= 0.5. Ships with the df cap ON (shingles in > max(5, 1% of "
+    "corpus) docs are dropped pre-join) — the fan-out bound that keeps "
+    "the plan finite at 100x data; the oracle replicates the cap "
+    "exactly, and recall vs the uncapped pairs is asserted in "
+    "tests/test_datapipe.py. The ground truth the LSH variants are "
+    "measured against.",
     tags=("datapipe", "dedup", "join"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=5, threshold=0.5
+        load_table(spark, sf_dir, "documents"),
+        n=5,
+        threshold=0.5,
+        max_df_frac=0.01,
+        df_floor=5,
     )
     return pairs.select(
         "doc_a",

@@ -171,19 +171,34 @@ def dws_province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    return (
+    # Two-phase exact distinct (same single-shuffle pattern as
+    # dws_product_stats): pre-aggregate on (window, dims, orderkey),
+    # then count the orderkey groups. Mixing countDistinct with sum in
+    # one agg plans an Expand that doubles the shuffled fact rows — at
+    # 100 TB the Expand on the orders fact is the dominant shuffle. The
+    # explicit repartition keys are a subset of both groupBy
+    # clusterings, so EnsureRequirements inserts no further exchange:
+    # ONE shuffle total, and the broadcast dim joins stay narrow.
+    enriched = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy(
-            F.window("o_orderdate", f"{7 * _DAY} seconds"), "n_name", "r_name"
-        )
+        .withColumn("w", F.window("o_orderdate", f"{7 * _DAY} seconds"))
+    )
+    pre = (
+        enriched.repartition(F.col("w"), F.col("n_name"), F.col("r_name"))
+        .groupBy("w", "n_name", "r_name", "o_orderkey")
         .agg(
-            F.countDistinct("o_orderkey").alias("order_count"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("order_amount"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_amt")
         )
+    )
+    return (
+        pre.groupBy("w", "n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum("_amt").cast("double").alias("order_amount"),
+        )
+        .withColumn("window", F.col("w"))
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
             F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
@@ -197,21 +212,47 @@ def dws_province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dws_product_stats_approx",
-    oracle=None,  # HLL sketch result has no SQL oracle; rows-only check
-    doc="A3 scale path: approx_count_distinct (HLL) replaces the exact "
-    "HashSet union for 100 TB-scale distinct counting (SURVEY A3 note). "
-    "No oracle by design; tested against the exact form in pytest with "
-    "a relative-error bound.",
+    oracle="""
+    SELECT l_partkey,
+           count(DISTINCT l_orderkey) AS order_ct,
+           count(*) AS line_ct,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_partkey
+    """,
+    doc="A3 scale path: approx_count_distinct (HLL, rsd=0.02) replaces "
+    "the exact HashSet union for 100 TB-scale distinct counting (SURVEY "
+    "A3 note). The HLL value itself has no SQL oracle, so the query "
+    "emits the exact count (two-phase, no Expand) PLUS approx_ok = "
+    "|hll - exact| <= max(1, 10% of exact) — the oracle pins the exact "
+    "columns and expects approx_ok TRUE everywhere, making the sketch's "
+    "error bound driver-checkable instead of rows-only. The tighter "
+    "rsd-level bound stays asserted in pytest.",
     tags=("dws", "agg", "approx"),
 )
 def dws_product_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_partkey")
-        .agg(
-            F.approx_count_distinct("l_orderkey", 0.02).alias("order_ct_approx"),
-            F.count(F.lit(1)).alias("line_ct"),
-        )
+    # pre-collapse to distinct (partkey, orderkey): HLL is duplicate-
+    # insensitive, so sketching the deduped rows gives the identical
+    # estimate while the same pre-aggregate feeds the exact count —
+    # one shuffle, no Expand.
+    pre = (
+        li.repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_lines"))
+    )
+    agg = pre.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("order_ct"),
+        F.sum("_lines").alias("line_ct"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_approx"),
+    )
+    return agg.select(
+        "l_partkey",
+        "order_ct",
+        "line_ct",
+        (
+            F.abs(F.col("_approx") - F.col("order_ct"))
+            <= F.greatest(F.lit(1), F.round(F.col("order_ct") * 0.1))
+        ).alias("approx_ok"),
     )
 
 

@@ -142,6 +142,30 @@ def test_bench_paths_codegen_no_python(spark, name):
     )
 
 
+@pytest.mark.parametrize(
+    "name", ["dws_province_stats", "dws_product_stats", "dws_product_stats_approx"]
+)
+def test_two_phase_distinct_no_expand(spark, name):
+    """Exact/approx distinct queries use the two-phase pre-aggregate form:
+    no Expand (which would double the shuffled fact rows), and the
+    explicit repartition is the ONLY shuffle — both groupBy phases stack
+    on it (broadcast exchanges for the dim joins don't count)."""
+    plan = plan_of(spark, name)
+    assert "Expand" not in plan, f"{name}: Expand doubles the fact shuffle"
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 1, (
+        f"{name}: {n_shuffles} hash exchanges — phases not stacked on one shuffle"
+    )
+
+
+def test_ngram_df_cap_in_plan(spark):
+    """The registered dedup_ngram_jaccard must carry the df cap: the hot
+    shingles are removed by a broadcast LeftAnti join before the
+    inverted-index self-join."""
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    assert "LeftAnti" in plan, "df-cap anti-join missing from the plan"
+
+
 @pytest.mark.parametrize("name", sorted(BATCH))
 def test_no_row_python_udfs_anywhere(spark, name):
     plan = plan_of(spark, name)

@@ -41,21 +41,40 @@ def tokenize(col: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
 
 
+# alnum runs OR CJK runs, in document order; the CJK branch goes through
+# the dictionary segmenter (jieba when installed, FMM fallback).
+_RUN_RE = re.compile(f"({TOKEN_RE})|([一-鿿]+)")
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def tokenize_udf(texts: pd.Series) -> pd.Series:
-    """D1 as an Arrow-batched pandas UDF (the UDTF slow path). Uses jieba
-    full-mode when available, else the same regex as `tokenize`. On any
-    per-row failure, emits the raw input as a single token (reference
-    behavior, SplitFunction.java:25-29)."""
-    pat = re.compile(TOKEN_RE)
+    """D1 as an Arrow-batched pandas UDF (the UDTF slow path, IKAnalyzer
+    parity: KeywordUtil.java:13-35). ASCII alnum runs tokenize by the
+    same regex as `tokenize`; Chinese runs segment by dictionary
+    maximum-matching — jieba full-mode when available (public lib,
+    closest to IK's ik_max_word), else the deterministic vendored FMM
+    (functions/segment_zh.py). On any per-row failure, emits the raw
+    input as a single token (reference behavior,
+    SplitFunction.java:25-29)."""
+    from gmall2021_flink_dw_spark.functions.segment_zh import fmm_segment
 
     def _one(t):
         if t is None:
             return []
         try:
-            if _HAVE_JIEBA:
-                return [w for w in jieba.lcut(t.lower(), cut_all=True) if w.strip()]
-            return pat.findall(t.lower())
+            out = []
+            for m in _RUN_RE.finditer(t.lower()):
+                if m.group(1) is not None:
+                    out.append(m.group(1))
+                elif _HAVE_JIEBA:
+                    out.extend(
+                        w
+                        for w in jieba.lcut(m.group(2), cut_all=True)
+                        if w.strip()
+                    )
+                else:
+                    out.extend(fmm_segment(m.group(2)))
+            return out
         except Exception:
             return [t]
 

@@ -57,6 +57,64 @@ def test_tokenizer_edge_cases(spark):
     assert rows[2].t is None
 
 
+def test_fmm_segment_golden():
+    """D1 Chinese segmentation parity (KeywordUtil.java:13-35): the
+    vendored FMM segmenter must produce dictionary words by longest
+    match, deterministically, with single-char fallback for OOV."""
+    from gmall2021_flink_dw_spark.functions.segment_zh import fmm_segment
+
+    # the reference's own demo keyword string
+    assert fmm_segment("大数据项目之实时数仓") == [
+        "大数据", "项目", "之", "实时", "数仓",
+    ]
+    assert fmm_segment("小米手机优惠券") == ["小米", "手机", "优惠券"]
+    # longest match wins: 优惠券 (3) over 优惠 (2)
+    assert fmm_segment("优惠券") == ["优惠券"]
+    # OOV chars fall through as single characters
+    assert fmm_segment("鑫") == ["鑫"]
+    assert fmm_segment("") == []
+
+
+def test_tokenize_udf_cjk(spark):
+    """The pandas-UDF tokenizer segments CJK runs and interleaves them
+    with ASCII tokens in document order; the keyword-count shape
+    (explode + groupBy, KeywordStatsApp.java:64-75) yields non-empty
+    Chinese keywords — the reference's actual workload."""
+    from gmall2021_flink_dw_spark.functions.tokenizer import (
+        _HAVE_JIEBA,
+        tokenize_udf,
+    )
+    from gmall2021_flink_dw_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    df = spark.createDataFrame(
+        [
+            (1, "小米手机 iPhone 15 优惠券"),
+            (2, "大数据项目之实时数仓"),
+            (3, "小米电视质量不错"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    toks = df.select("doc_id", tokenize_udf("text").alias("t"))
+    rows = {r.doc_id: r.t for r in toks.collect()}
+    if not _HAVE_JIEBA:  # deterministic vendored path: exact goldens
+        assert rows[1] == ["小米", "手机", "iphone", "15", "优惠券"]
+        assert rows[2] == ["大数据", "项目", "之", "实时", "数仓"]
+    assert rows[4] == []
+    # keyword aggregation over the segmented stream
+    counts = {
+        r.keyword: r.ct
+        for r in toks.select(F.explode("t").alias("keyword"))
+        .groupBy("keyword")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .collect()
+    }
+    assert counts.get("小米") == 2
+    assert counts.get("iphone") == 1
+    assert all(k.strip() for k in counts), "no empty keywords"
+
+
 def test_kafka_sink_builders_construct(spark):
     """No broker in the image: assert builders produce a configured
     DataStreamWriter with the right payload schema (start() untested)."""

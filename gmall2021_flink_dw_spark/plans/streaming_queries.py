@@ -31,6 +31,7 @@ from gmall2021_flink_dw_spark.streaming.sources import stream_table
 from gmall2021_flink_dw_spark.streaming.stateful import (
     correct_new_user_stream,
     jump_detect_stream,
+    uv_dedup_ttl_stream,
 )
 
 _WM_S = 11  # VisitorStats out-of-orderness (VisitorStatsApp.java:101)
@@ -125,6 +126,37 @@ def streaming_new_user_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     stream = correct_new_user_stream(stream_table(spark, sf_dir, "events"))
     name = f"snu_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(stream, name)
+    q.stop()
+    return spark.table(name)
+
+
+@register(
+    "streaming_uv_dedup",
+    oracle="""
+    SELECT user_id, strftime(dt, '%Y-%m-%d') AS dt, event_id,
+           epoch_us(ts) AS ts_us, event_type
+    FROM (
+      SELECT user_id, date_trunc('day', ts) AS dt, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="W4 under Structured Streaming WITH per-key 24 h state TTL "
+    "(UniqueVisitApp.java:43-78, TTL config :51-53): "
+    "applyInPandasWithState holds the last-emitted day per user and an "
+    "event-time timer clears it once the watermark passes that day — "
+    "state stays bounded by the active-key window, the reference's TTL "
+    "semantics. Emission is immediate, so the oracle is the full batch "
+    "first-per-(user,day) set; multi-batch TTL behavior is "
+    "equivalence-tested in tests/test_streaming.py.",
+    tags=("streaming", "stateful", "dedup"),
+)
+def streaming_uv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers_can_import(spark)
+    stream = uv_dedup_ttl_stream(stream_table(spark, sf_dir, "events"))
+    name = f"suv_{uuid.uuid4().hex[:8]}"
     q = run_to_memory(stream, name)
     q.stop()
     return spark.table(name)

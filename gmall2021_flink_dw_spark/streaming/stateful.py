@@ -134,6 +134,85 @@ def _new_user_fn(
     yield pd.DataFrame(out, columns=["user_id", "event_id", "ts_us", "is_new"])
 
 
+_DAY_US = 86_400 * 1_000_000
+
+UV_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("dt", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+UV_STATE = T.StructType([T.StructField("day_us", T.LongType())])
+
+
+def _uv_ttl_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """W4 with state TTL (UniqueVisitApp.java:43-78): per-key ValueState
+    holds the UTC day already emitted; the first event of a new day
+    passes the filter. The reference configures a 24 h OnCreateAndWrite
+    TTL on that state (UniqueVisitApp.java:51-53); here the event-time
+    timer set to the stored day's end clears the state once the
+    watermark passes it — same bound (<= 24 h after write), and exactly
+    when the value can no longer affect emission (any later event is a
+    different day and emits regardless). Keeps streaming state O(active
+    keys within 24 h), not O(all keys ever)."""
+    import datetime as _dt
+
+    if state.hasTimedOut:
+        # TTL expiry: watermark passed the stored day's end — drop state.
+        state.remove()
+        return
+
+    day = state.get[0] if state.exists else None
+    user_id = key[0]
+    out: list[tuple[int, str, int, int, str]] = []
+    rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+    for ev_id, ts_us, ev_type in zip(
+        rows["event_id"], rows["ts_us"], rows["event_type"]
+    ):
+        ts_us = int(ts_us)
+        d = ts_us - ts_us % _DAY_US
+        if day is None or d != day:
+            dt_str = _dt.datetime.fromtimestamp(
+                d // 1_000_000, tz=_dt.timezone.utc
+            ).strftime("%Y-%m-%d")
+            out.append((user_id, dt_str, int(ev_id), ts_us, str(ev_type)))
+            day = d
+    state.update((day,))
+    # event-time TTL: clear once the watermark passes the day's end
+    state.setTimeoutTimestamp((day + _DAY_US) // 1000)
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "dt", "event_id", "ts_us", "event_type"]
+        )
+
+
+def uv_dedup_ttl_stream(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """W4 streaming twin with per-key 24 h state TTL. `events` needs
+    (user_id, event_id, ts, event_type). Emission is immediate (first
+    event of each (key, day)), so on in-order replay the emitted set
+    equals the batch row_number oracle exactly; the timer only bounds
+    state size."""
+    prepared = events.withWatermark("ts", watermark).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "ts",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _uv_ttl_fn,
+        UV_SCHEMA,
+        UV_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def correct_new_user_stream(events: DataFrame) -> DataFrame:
     """W5 streaming form of operators/dedup.py::correct_new_user_flag.
     `events` needs (user_id, event_id, ts). No timeout: the reference

@@ -149,6 +149,61 @@ def test_uv_dedup_equivalence(spark, events_stream):
         q.stop()
 
 
+def test_uv_dedup_ttl_multibatch(spark):
+    """W4 + 24 h TTL (UniqueVisitApp.java:51-53 parity): replay the
+    events in multiple time-ordered micro-batches so watermarks advance
+    and the per-day timers actually fire between batches; the emitted
+    set must STILL equal the batch first-per-(user,day) oracle exactly —
+    i.e. TTL cleanup neither re-emits a day nor swallows a new one."""
+    import os
+
+    from pyspark.sql import Window
+    from gmall2021_flink_dw_spark.streaming.stateful import uv_dedup_ttl_stream
+
+    events = load_table(spark, SF, "events")
+    # split into 6 time-ordered files: each trigger processes one file,
+    # so day boundaries fall between micro-batches and timers fire
+    d = tempfile.mkdtemp(prefix="uv_ttl_")
+    try:
+        ntile = F.ntile(6).over(Window.orderBy("ts", "event_id"))
+        parts = events.withColumn("part", ntile)
+        for i in range(1, 7):
+            parts.filter(F.col("part") == i).drop("part").coalesce(1).write.parquet(
+                os.path.join(d, f"b{i}")
+            )
+        schema = spark.read.parquet(os.path.join(d, "b1")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "b*"))
+        )
+        q = run_to_memory(uv_dedup_ttl_stream(stream), "uv_ttl_stream")
+        try:
+            got = spark.sql("select * from uv_ttl_stream").toPandas()
+            want = spark.sql(
+                """
+                SELECT user_id, date_format(dt, 'yyyy-MM-dd') AS dt,
+                       event_id, unix_micros(cast(ts as timestamp)) AS ts_us,
+                       event_type
+                FROM (
+                  SELECT user_id, date_trunc('day', ts) AS dt, event_id, ts,
+                         event_type,
+                         row_number() OVER (
+                           PARTITION BY user_id, date_trunc('day', ts)
+                           ORDER BY ts, event_id) AS rn
+                  FROM {events}
+                ) WHERE rn = 1
+                """,
+                events=events,
+            ).toPandas()
+            assert len(got) == len(want)
+            pd.testing.assert_frame_equal(_canon(got), _canon(want))
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_jump_cep_equivalence(spark, events_stream):
     """W7: applyInPandasWithState streaming CEP == lag/lead batch oracle.
     With watermark 0s and a single replay batch, timers for pendings

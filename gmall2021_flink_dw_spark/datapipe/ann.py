@@ -140,6 +140,62 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    b: DataFrame,
+    n_lists: int,
+    n_iter: int = 2,
+    sample_cap: int = 512,
+) -> DataFrame:
+    """Deterministic mini k-means for the IVF coarse quantizer, expressed
+    entirely as lazy DataFrame ops (no driver-side collect):
+
+    - sample: the `sample_cap` vectors with the smallest md5(vec_id) — a
+      content-independent deterministic sample (TakeOrdered, no shuffle
+      of the corpus);
+    - init: the first n_lists of that sample (seeded-init equivalent);
+    - n_iter Lloyd rounds: assign sample to max-cosine centroid
+      (broadcast cross join over <= sample_cap rows), recompute each
+      list's centroid as the element-wise mean via posexplode +
+      avg + rebuild (array_sort(collect_list(struct(pos, v)))).
+
+    Everything after the sample operates on <= sample_cap rows, so the
+    fit cost is independent of corpus size — the standard trick for
+    training a coarse quantizer at 100 TB (fit on a bounded sample,
+    assign the full corpus once). Empty clusters simply drop out
+    (fewer, better-used lists)."""
+    sample = (
+        b.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(sample_cap)
+        .select("vec_id", "emb", "__vn")
+        .persist()
+    )
+    cent = sample.limit(n_lists).select(
+        F.col("vec_id").alias("__c_id"),
+        F.col("emb").alias("__c_emb"),
+        F.col("__vn").alias("__c_n"),
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(sample, F.broadcast(cent), "vec_id", "emb", n_lists)
+        means = (
+            assigned.select("__list", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("__list", "pos")
+            .agg(F.avg("v").alias("v"))
+            .groupBy("__list")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("__c_emb")
+            )
+        )
+        cent = means.select(
+            F.col("__list").alias("__c_id"),
+            "__c_emb",
+            norm(F.col("__c_emb")).alias("__c_n"),
+        )
+    return cent
+
+
 def ivf_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -151,9 +207,9 @@ def ivf_topk(
     into n_lists inverted lists; each query probes only its n_probe
     closest lists.
 
-    The coarse quantizer here is a deterministic sample of the corpus
-    (the n_lists lowest vec_ids — equivalent to a k-means init; a
-    trained k-means can be dropped in without changing the plan). At
+    The coarse quantizer is a mini k-means trained on a deterministic
+    bounded sample (kmeans_centroids) — robust to clustered real data,
+    where a naive first-N init collapses lists onto one cluster. At
     100 TB the list id is the partition/bucket key: a query touches
     n_probe/n_lists of the data, and the per-list scan is an equi-join,
     not a cross join. Recall vs brute force is asserted in tests.
@@ -162,15 +218,7 @@ def ivf_topk(
 
     b = base.withColumn("__vn", norm(F.col("emb")))
     q = queries.withColumn("__vn", norm(F.col("q_emb")))
-    centroids = F.broadcast(
-        b.orderBy("vec_id")
-        .limit(n_lists)
-        .select(
-            F.col("vec_id").alias("__c_id"),
-            F.col("emb").alias("__c_emb"),
-            F.col("__vn").alias("__c_n"),
-        )
-    )
+    centroids = F.broadcast(kmeans_centroids(b, n_lists))
     base_lists = ivf_assign(b, centroids, "vec_id", "emb", n_lists)
 
     # per query: rank all centroids, keep the n_probe closest

@@ -107,12 +107,13 @@ def test_ivf_ann_recall(spark):
     approx = REGISTRY["ann_ivf"].fn(spark, ORACLE_SF).toPandas()
     b = {(int(q), int(v)) for q, v in zip(brute.q_id, brute.vec_id)}
     a = {(int(q), int(v)) for q, v in zip(approx.q_id, approx.vec_id)}
-    # 4-probe over 16 lists scans ~1/4 of the corpus; on random gaussian
-    # embeddings the nearest-centroid partition keeps most true
-    # neighbors reachable — looser than LSH multi-probe but must beat
-    # random (k*nprobe/nlists ~ 0.25 expected under random assignment).
+    # 4-probe over 16 lists scans ~1/4 of the corpus; with the trained
+    # mini-k-means quantizer (kmeans_centroids) recall measures 0.58 at
+    # sf0.01 — bound at 0.45 to leave headroom for float-sum ordering
+    # drift in the centroid means, while still far above both the 0.25
+    # random-assignment expectation and the untrained first-N init.
     recall = len(a & b) / len(b)
-    assert recall >= 0.3, f"IVF recall {recall:.2f}"
+    assert recall >= 0.45, f"IVF recall {recall:.2f}"
     assert (approx["rank"] <= 5).all()
     # sims are true cosines: every reported pair's sim must match the
     # brute-force sim for the same pair when present

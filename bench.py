@@ -76,6 +76,13 @@ HEADLINE = [
     "doc_winnow_fingerprint",
     "corpus_clean",
     "multimodal_frame_sample",
+    # added r02 (headline totals are not comparable to BENCH_r01 — use
+    # per-query minima for round-over-round comparisons, BASELINE.md):
+    "dedup_clusters",
+    "corpus_contamination",
+    "tfidf_top_terms",
+    "dedup_embedding_lsh",
+    "streaming_uv_dedup",
 ]
 
 

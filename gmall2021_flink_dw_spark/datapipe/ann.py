@@ -247,6 +247,54 @@ def ivf_topk(
     )
 
 
+def bucketed_cosine_pairs(
+    emb: DataFrame, threshold: float, bits: int = SIGN_BITS + 2
+) -> DataFrame:
+    """Embedding near-dup pairs, the 100 TB path: multi-probe sign-bucket
+    LSH bounds the pair space, then one numpy GEMM per bucket scores the
+    candidates (Arrow in, BLAS, Arrow out — same tile kernel layout as
+    blocked_cosine_pairs, but over a bucket instead of the full corpus).
+
+    Every vector is replicated to its own bucket plus each 1-bit-flip
+    bucket (bits+1 probes); two vectors whose leading-sign patterns
+    differ in <= 2 bits share at least one probe bucket (flip one of the
+    two differing bits), so recall degrades only for pairs whose signs
+    disagree on 3+ leading dims — measured against the exact GEMM pairs
+    in tests/test_datapipe.py. Work per bucket is (n*(bits+1)/2^bits)^2
+    — quadratic only WITHIN a bucket, and the bucket id is the partition
+    key at scale. Pairs surfacing in several shared buckets dedup via
+    groupBy min-sim-carrying distinct.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def bucket_tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        ea = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+        na = np.sqrt((ea * ea).sum(axis=1))
+        sims = (ea @ ea.T) / np.outer(na, na)
+        ids = pdf["vec_id"].to_numpy()
+        ia, ib = np.nonzero(sims >= threshold)
+        keep = ids[ia] < ids[ib]
+        return pd.DataFrame(
+            {"vec_a": ids[ia][keep], "vec_b": ids[ib][keep],
+             "sim": sims[ia, ib][keep]}
+        )
+
+    probed = emb.withColumn(
+        "bucket", F.explode(probe_buckets(F.col("emb"), bits))
+    ).select("bucket", "vec_id", "emb")
+    pairs = probed.groupBy("bucket").applyInPandas(bucket_tile, PAIR_SCHEMA)
+    # a pair can collide in up to two shared probe buckets — dedup; sim
+    # is identical in each, so first() is exact.
+    return pairs.groupBy("vec_a", "vec_b").agg(F.first("sim").alias("sim"))
+
+
 PAIR_SCHEMA = "vec_a long, vec_b long, sim double"
 
 

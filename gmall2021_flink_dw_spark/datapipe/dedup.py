@@ -239,6 +239,77 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Min-label connected components over undirected (doc_a, doc_b)
+    edges — the standard post-pairing step of a dedup pipeline: near-dup
+    PAIRS become near-dup CLUSTERS, and one survivor is kept per cluster.
+
+    Each round runs (a) neighbor-min propagation (label(v) <- min of own
+    and neighbors' labels) then (b) pointer jumping (label(v) <-
+    label(label(v))), which at least doubles the distance a minimum has
+    traveled — O(log diameter) rounds to the fixpoint. The loop runs to
+    CONVERGENCE: labels only ever decrease, so sum(label) is a monotone
+    convergence measure and one cheap scalar action per round detects
+    the fixpoint exactly. Each round's result is localCheckpoint-ed —
+    iterative DataFrame graphs MUST truncate lineage per round, or the
+    self-referencing plan (and Catalyst analysis time) grows
+    exponentially with the round count; materializing the frontier per
+    round is precisely what a 100 TB CC job (GraphX/GraphFrames'
+    large-star algorithm included) does, and the per-round state is one
+    (node, label) row per vertex. Every step is an equi-join/groupBy on
+    the node id or label.
+
+    Returns (doc_id, cluster_id): one row per node appearing in edges,
+    cluster_id = min doc_id of the component.
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = labels.join(
+            nbr, labels["doc_id"] == nbr["src"], "left"
+        ).select(
+            labels["doc_id"],
+            F.least(
+                labels["label"], F.coalesce(nbr["nlabel"], labels["label"])
+            ).alias("label"),
+        )
+        jump = stepped.select(
+            F.col("doc_id").alias("pj_id"), F.col("label").alias("pj_label")
+        )
+        labels = (
+            stepped.join(jump, stepped["label"] == jump["pj_id"], "left")
+            .select(
+                stepped["doc_id"],
+                F.coalesce(jump["pj_label"], stepped["label"]).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:  # no label decreased -> fixpoint
+            break
+        prev_sum = cur_sum
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
 SIMHASH_BLOCKS = 8  # 8 blocks x 8 bits: pigeonhole guarantees any pair
 SIMHASH_BLOCK_BITS = 8  # with hamming <= 7 shares at least one block
 

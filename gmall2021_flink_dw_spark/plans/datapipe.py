@@ -118,8 +118,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", "fingerprint", "group_size")
 
 
-_JACCARD_ORACLE = f"""
-    WITH g AS (
+# shared CTE block: tokenized 5-gram shingles, df-capped inverted index
+_SHINGLE_CTES = f"""g AS (
       SELECT doc_id, {duck_shingles(5)} AS grams
       FROM (SELECT doc_id, {TOKENS_SQL} AS w FROM documents)
       WHERE len(w) >= 5
@@ -131,7 +131,10 @@ _JACCARD_ORACLE = f"""
              ceil(0.01 * (SELECT count(DISTINCT doc_id) FROM e0)))
     ), e AS (
       SELECT e0.* FROM e0 ANTI JOIN hot USING (shingle)
-    )
+    )"""
+
+_JACCARD_ORACLE = f"""
+    WITH {_SHINGLE_CTES}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            count(*) AS inter,
            any_value(a.n_grams) AS na, any_value(b.n_grams) AS nb,
@@ -700,3 +703,208 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("token", "n_docs", "n_total")
     )
+
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLE_CTES},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*)::double /
+             (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    )
+    SELECT src AS doc_id,
+           least(src, min(dst)) AS cluster_id,
+           least(src, min(dst)) = src AS is_survivor
+    FROM reach GROUP BY src
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
+    doc="Near-dup CLUSTERS from near-dup pairs: min-label connected "
+    "components (neighbor-min propagation + pointer jumping, "
+    "datapipe/dedup.py::connected_components) over the df-capped "
+    "n-gram-Jaccard pair graph; survivor = min doc_id per component. "
+    "The standard dedup-pipeline step after pair generation — keep one "
+    "doc per cluster, not one per pair. The DuckDB oracle computes the "
+    "true transitive closure (recursive CTE), so parity proves the "
+    "fixed-round propagation reached the fixpoint.",
+    tags=("datapipe", "dedup", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=5,
+        threshold=0.5,
+        max_df_frac=0.01,
+        df_floor=5,
+    )
+    cc = connected_components(pairs.select("doc_a", "doc_b"))
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
+_CONTAMINATION_ORACLE = f"""
+    WITH {_SHINGLE_CTES},
+    bench AS (
+      SELECT DISTINCT shingle FROM e0 WHERE doc_id < 20
+    )
+    SELECT e0.doc_id,
+           any_value(e0.n_grams) AS n_grams,
+           count(bench.shingle) AS hits,
+           round(count(bench.shingle)::double / any_value(e0.n_grams), 6)
+             AS contamination,
+           count(bench.shingle)::double / any_value(e0.n_grams) >= 0.2
+             AS flagged
+    FROM e0 LEFT JOIN bench USING (shingle)
+    WHERE e0.doc_id >= 20
+    GROUP BY e0.doc_id
+"""
+
+
+@register(
+    "corpus_contamination",
+    oracle=_CONTAMINATION_ORACLE,
+    doc="Benchmark-contamination check — the pre-training hygiene pass "
+    "that keeps eval data out of the corpus: the held-out set (doc_id "
+    "< 20 stands in for an eval suite) is reduced to its distinct "
+    "5-gram shingles and BROADCAST (eval suites are tiny by nature); "
+    "every training doc reports the fraction of its shingles that "
+    "appear in the benchmark set, flagged at >= 20%. One corpus scan, "
+    "no shuffle of the corpus — the join is broadcast-left against the "
+    "benchmark index.",
+    tags=("datapipe", "text", "dedup"),
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.dedup import doc_shingles
+
+    sh = doc_shingles(load_table(spark, sf_dir, "documents"), n=5)
+    bench = (
+        sh.filter(F.col("doc_id") < 20)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    rest = sh.filter(F.col("doc_id") >= 20)
+    scored = (
+        rest.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.count("__hit").alias("hits"),
+        )
+    )
+    frac = F.col("hits").cast("double") / F.col("n_grams")
+    return scored.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        "hits",
+        F.round(frac, 6).alias("contamination"),
+        (frac >= 0.2).alias("flagged"),
+    )
+
+
+_TFIDF_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, unnest(w) AS token
+      FROM (SELECT doc_id, {TOKENS_SQL} AS w FROM documents)
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n FROM tf
+    )
+    SELECT doc_id, token, rk, round(score, 6) AS score
+    FROM (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * ((n.n + 1.0) / (dfreq.df + 1.0)) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ((n.n + 1.0) / (dfreq.df + 1.0)) DESC,
+                        tf.token) AS rk
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ) WHERE rk <= 3
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=_TFIDF_ORACLE,
+    doc="Top-3 characteristic terms per document by tf x rational "
+    "inverse-doc-frequency ((n+1)/(df+1) — a log-free idf: IEEE "
+    "add/divide/multiply are correctly rounded, so Spark and DuckDB "
+    "produce bit-identical doubles, where ln() would drift in the last "
+    "ulp). Shape: per-doc term counts (one shuffle), token df by "
+    "re-aggregating the tf table (second phase on the same rows, no "
+    "Expand), corpus size as a broadcast 1-row aggregate, windowed "
+    "top-3 per doc.",
+    tags=("datapipe", "text", "agg", "window-function"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode("__tokens").alias("token"))
+    # tf feeds three consumers (join probe side, df re-aggregate, corpus
+    # count) — persist, or the tokenize+explode+agg runs three times; at
+    # 100 TB this intermediate is a checkpointed table.
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n"))
+    score = F.col("tf") * (
+        (F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "rk", F.round("score", 6).alias("score"))
+    )
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=None,
+    doc="Embedding near-dup pairs, the 100 TB path (the exact GEMM "
+    "variant dedup_embedding_cosine is its ground truth): multi-probe "
+    "sign-bucket LSH bounds the candidate space, one numpy GEMM per "
+    "bucket scores it (datapipe/ann.py::bucketed_cosine_pairs). "
+    "Quadratic only within a bucket; bucket id = partition key at "
+    "scale. Recall vs the exact pairs asserted in "
+    "tests/test_datapipe.py.",
+    tags=("datapipe", "dedup", "ann", "lsh"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.ann import bucketed_cosine_pairs
+
+    ensure_workers_can_import(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    pairs = bucketed_cosine_pairs(emb, threshold=0.45, bits=6)
+    return pairs.select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))

@@ -102,6 +102,42 @@ def test_approx_count_distinct_bounds(spark):
     assert (df["order_ct"] >= 1).all()
 
 
+def test_connected_components_chain(spark):
+    """Pointer jumping must resolve a path graph far deeper than the
+    round count (distance covered doubles per round): a 31-node chain
+    collapses to cluster 0 in the default 6 rounds; disjoint components
+    keep separate min labels."""
+    from gmall2021_flink_dw_spark.datapipe.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    cc = connected_components(chain).toPandas()
+    assert len(cc) == 31
+    assert (cc.cluster_id == 0).all()
+
+    two = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    cc2 = connected_components(two).toPandas().set_index("doc_id").cluster_id
+    assert cc2[1] == cc2[2] == cc2[3] == 1
+    assert cc2[10] == cc2[11] == 10
+
+
+def test_embedding_lsh_recall(spark):
+    """The bucketed (scale-path) embedding dedup verifies candidates
+    with true cosine, so its pairs are a subset of the exact GEMM pairs;
+    multi-probe must keep recall well above the single-bucket floor."""
+    exact = REGISTRY["dedup_embedding_cosine"].fn(spark, ORACLE_SF).toPandas()
+    lsh = REGISTRY["dedup_embedding_lsh"].fn(spark, ORACLE_SF).toPandas()
+    ep = {(int(a), int(b)) for a, b in zip(exact.vec_a, exact.vec_b)}
+    lp = {(int(a), int(b)) for a, b in zip(lsh.vec_a, lsh.vec_b)}
+    assert ep, "exact pair set should be non-empty at this threshold"
+    assert lp <= ep, "verified candidates can never be false positives"
+    recall = len(lp & ep) / len(ep)
+    assert recall >= 0.5, f"embedding LSH recall {recall:.2f}"
+
+
 def test_ivf_ann_recall(spark):
     brute = REGISTRY["ann_topk"].fn(spark, ORACLE_SF).toPandas()
     approx = REGISTRY["ann_ivf"].fn(spark, ORACLE_SF).toPandas()

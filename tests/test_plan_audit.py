@@ -57,7 +57,11 @@ PAIRWISE_ALLOWED = {
 # (sum(...)*fraction, count+sum pair) compared by inequality — a
 # BroadcastNestedLoopJoin over a single broadcast row is the canonical
 # plan and costs O(n) regardless of scale.
-SCALAR_THRESHOLD_ALLOWED = {"tpch_q11_importance", "tpch_q22_inactive"}
+SCALAR_THRESHOLD_ALLOWED = {
+    "tpch_q11_importance",
+    "tpch_q22_inactive",
+    "tfidf_top_terms",  # corpus-size scalar: 1-row broadcast cross join
+}
 
 DIM_TABLES = ("nation", "region", "part.parquet", "supplier", "customer")
 

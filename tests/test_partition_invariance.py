@@ -1,0 +1,64 @@
+"""Partition-count invariance — the distributed-correctness property.
+
+A plan that is correct on a 1000-executor cluster must produce the SAME
+result under any shuffle partitioning. Anything that leaks
+partition-local state into results (per-partition ids used as values,
+first()/any_value() races resolved differently per layout, float sums
+whose grouping depends on partitioning) breaks this. We re-run a
+representative query per family with spark.sql.shuffle.partitions
+dropped from 32 to 5 and require canonical equality.
+
+(Float aggregates here are decimal-first per registry.py's determinism
+rules, so even sums are layout-independent.)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from gmall2021_flink_dw_spark.registry import load_all
+from tests.conftest import ORACLE_SF
+
+REGISTRY = load_all()
+
+# one representative per family: agg+window, exact-distinct two-phase,
+# salted agg (uses monotonically_increasing_id internally — merge must
+# erase it), dedup join, top-N, CC graph, asof union-window, sampling
+INVARIANT_QUERIES = [
+    "dws_product_stats",
+    "dws_province_stats",
+    "dws_salted_agg",
+    "dedup_exact",
+    "ads_top_brands",
+    "dedup_clusters",
+    "cdc_asof_enrich",
+    "sample_stratified",
+    "tfidf_top_terms",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).astype(str)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return df
+
+
+@pytest.mark.parametrize("name", INVARIANT_QUERIES)
+def test_partition_count_invariance(spark, name):
+    fn = REGISTRY[name].fn
+    base = canon(fn(spark, ORACLE_SF).toPandas())
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        narrow = canon(fn(spark, ORACLE_SF).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert base.columns.tolist() == narrow.columns.tolist()
+    assert len(base) == len(narrow), f"{name}: row count changed with partitioning"
+    assert (base.values == narrow.values).all(), (
+        f"{name}: values depend on shuffle partition count"
+    )

@@ -314,18 +314,86 @@ SIMHASH_BLOCKS = 8  # 8 blocks x 8 bits: pigeonhole guarantees any pair
 SIMHASH_BLOCK_BITS = 8  # with hamming <= 7 shares at least one block
 
 
-def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over token occurrence counts, emitted as 8 x 8-bit
-    blocks (block index doubles as the LSH bucket key)."""
+def _counted_token_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, cnt, __h): per-doc token occurrence counts with the
+    token's xxhash64 — hashed AFTER the aggregation so the hash is
+    materialized once per distinct (doc, token)."""
     toks = with_tokens(docs).select(
         "doc_id", F.explode("__tokens").alias("token")
     )
-    # hash AFTER the aggregation: the agg is a projection-collapse
-    # barrier, so the 64 per-bit references below see one materialized
-    # hash value instead of 64 xxhash64 re-evaluations per row.
-    counted = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("cnt")
-    ).withColumn("__h", F.xxhash64("token"))
+    return (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("__h", F.xxhash64("token"))
+        .select("doc_id", "cnt", "__h")
+    )
+
+
+_SIMHASH_SCHEMA = "doc_id long, " + ", ".join(
+    f"block{i} long" for i in range(SIMHASH_BLOCKS)
+)
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over token occurrence counts, emitted as 8 x 8-bit
+    blocks (block index doubles as the LSH bucket key).
+
+    The per-bit weighted sums are computed in an Arrow mapInPandas tile:
+    each partition (repartitioned on doc_id, so a doc never splits)
+    expands token hashes to a +-cnt bit matrix with one numpy broadcast
+    and accumulates per-doc sums across its batches — vectorized per
+    TILE, not per key (per-key applyInPandas measured 5x slower than
+    even the codegen aggregate; this form is 3.4x FASTER than the
+    64-conditional-sum codegen aggregate at sf0.1 and bit-identical to
+    it — asserted in tests against simhash_sql). Same shuffle count as
+    the aggregate form: one for the token count, one for the doc
+    repartition."""
+    import numpy as np
+    import pandas as pd
+
+    counted = _counted_token_hashes(docs).repartition("doc_id")
+    shifts = np.arange(bits, dtype=np.int64)
+    n_blocks, block_bits = SIMHASH_BLOCKS, SIMHASH_BLOCK_BITS
+
+    def tile(batches):
+        acc: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            h = pdf["__h"].to_numpy(np.int64)
+            cnt = pdf["cnt"].to_numpy(np.int64)
+            # arithmetic >> then &1 reads bit i exactly like Spark's
+            # shiftright(h, i) & 1, sign bit included
+            bit = ((h[:, None] >> shifts) & 1) * 2 - 1
+            part = (
+                pd.DataFrame(bit * cnt[:, None])
+                .groupby(pdf["doc_id"].to_numpy())
+                .sum()
+            )
+            for d, row in zip(part.index, part.to_numpy()):
+                if d in acc:
+                    acc[d] += row
+                else:
+                    acc[d] = row.copy()
+        if not acc:
+            return
+        ids = np.fromiter(acc.keys(), dtype=np.int64)
+        sums = np.stack(list(acc.values()))
+        pos = (sums > 0).astype(np.int64)
+        out = {"doc_id": ids}
+        for blk in range(n_blocks):
+            vals = np.zeros(len(ids), dtype=np.int64)
+            for j in range(block_bits):
+                vals |= pos[:, blk * block_bits + j] << j
+            out[f"block{blk}"] = vals
+        yield pd.DataFrame(out)
+
+    return counted.mapInPandas(tile, _SIMHASH_SCHEMA)
+
+
+def simhash_sql(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """Pure-codegen reference form of `simhash` (64 conditional sums +
+    block packing) — kept as the semantic specification; tests assert
+    the Arrow tile form is bit-identical."""
+    counted = _counted_token_hashes(docs)
     h = F.col("__h")
     bit_sums = [
         F.sum(

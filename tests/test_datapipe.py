@@ -54,6 +54,21 @@ def test_minhash_lsh_recall(spark, exact_pairs):
     assert recall >= 0.9, f"LSH recall {recall:.2f} below bound"
 
 
+def test_simhash_arrow_matches_sql(spark):
+    """The Arrow-tile signature path must be BIT-identical to the
+    pure-codegen specification form — same hashes, same bit reads, same
+    block packing."""
+    from gmall2021_flink_dw_spark.datapipe.dedup import simhash, simhash_sql
+    from gmall2021_flink_dw_spark.sources.batch import load_table
+
+    docs = load_table(spark, ORACLE_SF, "documents")
+    a = simhash(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        simhash_sql(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 def test_simhash_pairs_form(spark):
     df = REGISTRY["dedup_simhash"].fn(spark, ORACLE_SF).toPandas()
     assert (df.doc_a < df.doc_b).all()

@@ -83,6 +83,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "dedup_embedding_lsh",
     "streaming_uv_dedup",
+    "cdc_snapshot_at",
+    "streaming_interval_join",
 ]
 
 

@@ -103,6 +103,52 @@ def cdc_route_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_snapshot_at",
+    oracle=f"""
+    WITH cl AS ({ORDERS_CHANGELOG_ORACLE}),
+    cut AS (
+      SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS cut_us FROM cl
+    ),
+    versioned AS (
+      SELECT cl.*, row_number() OVER (PARTITION BY id ORDER BY ts_us DESC, op) AS rn
+      FROM cl, cut WHERE cl.ts_us <= cut.cut_us
+    )
+    SELECT id, after_status, cast(after_total as double) AS after_total, ts_us
+    FROM versioned WHERE rn = 1 AND op <> 'delete'
+    """,
+    doc="CDC time travel: reconstruct the dimension table AS OF a point "
+    "in time (here the changelog's midpoint, computed as a broadcast "
+    "1-row scalar so the query stays self-contained) — filter the "
+    "changelog to ts <= cutoff, then last-writer-wins per key with "
+    "trailing deletes dropped. The SCD2 read path the reference's "
+    "point-query dim lookups (DimUtil.java:23-26) cannot express; "
+    "complements cdc_asof_enrich (per-fact as-of) with a whole-table "
+    "snapshot.",
+    tags=("cdc", "upsert", "time-travel"),
+)
+def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = orders_changelog(spark, sf_dir)
+    cut = cl.agg(
+        (
+            F.min("ts_us")
+            + F.floor((F.max("ts_us") - F.min("ts_us")) / F.lit(2)).cast("long")
+        ).alias("cut_us")
+    )
+    hist = (
+        cl.crossJoin(F.broadcast(cut))
+        .filter(F.col("ts_us") <= F.col("cut_us"))
+        .drop("cut_us")
+    )
+    snap = upsert_snapshot(hist)
+    return snap.select(
+        "id",
+        "after_status",
+        F.col("after_total").cast("double").alias("after_total"),
+        "ts_us",
+    )
+
+
+@register(
     "cdc_dim_snapshot",
     oracle=f"""
     WITH versioned AS (

@@ -132,6 +132,61 @@ def streaming_new_user_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT p.event_id AS pay_event_id, c.event_id AS src_event_id,
+           p.user_id
+    FROM events p
+    JOIN events c ON p.user_id = c.user_id
+                 AND c.event_type = 'click'
+                 AND epoch_us(c.ts) >= epoch_us(p.ts) - 900*1000000
+                 AND epoch_us(c.ts) <= epoch_us(p.ts) + 5*1000000
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="J2 as a REGISTERED stream-stream interval join (PaymentWideApp "
+    "parity under Structured Streaming): purchase stream x click stream "
+    "on user with event-time bounds [-15 min, +5 s] and 16-minute "
+    "watermarks bounding both buffers. Inner joins emit on match (not "
+    "on window close), so full replay emits exactly the batch pair set "
+    "— the oracle is complete, not a watermark-dependent subset.",
+    tags=("streaming", "join", "interval-join"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_table(spark, sf_dir, "events")
+    pay = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "16 minutes")
+        .select(
+            F.col("event_id").alias("pay_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    click = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "16 minutes")
+        .select(
+            F.col("event_id").alias("src_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = pay.join(
+        click,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts >= p_ts - interval 15 minutes AND "
+            "c_ts <= p_ts + interval 5 seconds"
+        ),
+    ).select("pay_event_id", "src_event_id", F.col("p_user").alias("user_id"))
+    name = f"sij_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(joined, name)
+    q.stop()
+    return spark.table(name)
+
+
+@register(
     "streaming_uv_dedup",
     oracle="""
     SELECT user_id, strftime(dt, '%Y-%m-%d') AS dt, event_id,

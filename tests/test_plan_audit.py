@@ -61,6 +61,7 @@ SCALAR_THRESHOLD_ALLOWED = {
     "tpch_q11_importance",
     "tpch_q22_inactive",
     "tfidf_top_terms",  # corpus-size scalar: 1-row broadcast cross join
+    "cdc_snapshot_at",  # time-travel cutoff: 1-row broadcast scalar
 }
 
 DIM_TABLES = ("nation", "region", "part.parquet", "supplier", "customer")

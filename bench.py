@@ -85,6 +85,7 @@ HEADLINE = [
     "streaming_uv_dedup",
     "cdc_snapshot_at",
     "streaming_interval_join",
+    "pack_sequences",
 ]
 
 

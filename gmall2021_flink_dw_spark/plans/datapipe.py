@@ -709,8 +709,9 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CLUSTERS_ORACLE = f"""
-    WITH RECURSIVE {_SHINGLE_CTES},
+# pairs -> symmetric edges -> recursive transitive closure (shared by
+# the cluster-shaped oracles)
+_CC_CTES = f"""{_SHINGLE_CTES},
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -726,11 +727,15 @@ _CLUSTERS_ORACLE = f"""
       SELECT src, dst FROM edges
       UNION
       SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
-    )
-    SELECT src AS doc_id,
-           least(src, min(dst)) AS cluster_id,
-           least(src, min(dst)) = src AS is_survivor
-    FROM reach GROUP BY src
+    ),
+    cc AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )"""
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT doc_id, cluster_id, cluster_id = doc_id AS is_survivor FROM cc
 """
 
 
@@ -888,6 +893,128 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", "rk", F.round("score", 6).alias("score"))
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({TOKENS_SQL}) AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT source, cast((cum - n_tokens) // 4096 as bigint) AS seq_id,
+           count(*) AS n_docs,
+           cast(sum(n_tokens) as bigint) AS seq_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+    doc="Token-budget sequence packing — the pre-training batching step "
+    "that concatenates documents into ~4096-token training sequences: "
+    "per source (the shard key), docs in deterministic doc_id order get "
+    "a running token count; a doc's sequence is the 4096-token bin its "
+    "START offset falls in. One window pass per shard, one shuffle on "
+    "the shard key; the per-sequence stats (doc count, token count, doc "
+    "range) are what a sequence-writer job would emit.",
+    tags=("datapipe", "text", "window-function"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", "source", F.size("__tokens").cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    seq = F.floor(
+        (F.col("cum") - F.col("n_tokens")) / F.lit(4096)
+    ).cast("bigint")
+    return (
+        c.withColumn("seq_id", seq)
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+_SURVIVORS_ORACLE = f"""
+    WITH RECURSIVE {_CC_CTES},
+    q AS (
+      SELECT doc_id, len(list_distinct(w))::double / len(w) AS ttr
+      FROM (SELECT doc_id, {TOKENS_SQL} AS w FROM documents)
+      WHERE len(w) > 0
+    )
+    SELECT cluster_id, doc_id AS survivor_doc, n_members,
+           round(ttr, 6) AS ttr
+    FROM (
+      SELECT cc.cluster_id, cc.doc_id, q.ttr,
+             count(*) OVER (PARTITION BY cc.cluster_id) AS n_members,
+             row_number() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY q.ttr DESC, cc.doc_id) AS rk
+      FROM cc JOIN q USING (doc_id)
+    ) WHERE rk = 1
+"""
+
+
+@register(
+    "dedup_survivors_by_quality",
+    oracle=_SURVIVORS_ORACLE,
+    doc="Quality-aware survivor selection — the policy layer on top of "
+    "dedup_clusters: instead of keeping the min-id doc per near-dup "
+    "cluster, keep the HIGHEST-QUALITY member (type-token ratio, "
+    "doc_id tiebreak). Composition of the pair graph, connected "
+    "components, and the quality metrics; ordering compares raw IEEE "
+    "doubles (exact-rounded division, bit-identical across engines), "
+    "rounding applied only to the displayed score.",
+    tags=("datapipe", "dedup", "graph", "quality"),
+)
+def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gmall2021_flink_dw_spark.datapipe.dedup import connected_components
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=5,
+        threshold=0.5,
+        max_df_frac=0.01,
+        df_floor=5,
+    )
+    cc = connected_components(pairs.select("doc_a", "doc_b"))
+    t = F.col("__tokens")
+    q = docs.filter(F.size(t) > 0).select(
+        "doc_id",
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("ttr"),
+    )
+    joined = cc.join(q, "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("ttr"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc"),
+            "n_members",
+            F.round("ttr", 6).alias("ttr"),
+        )
     )
 
 

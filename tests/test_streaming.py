@@ -204,6 +204,86 @@ def test_uv_dedup_ttl_multibatch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_checkpoint_restart_recovery(spark):
+    """W9 exactly-once across a RESTART: run the stateful UV-dedup
+    stream over the first half of the data with a checkpointed parquet
+    sink, stop the query (simulated process death), land more files,
+    start a fresh query on the SAME checkpoint, drain. The final sink
+    contents must equal the batch first-per-(user,day) oracle exactly —
+    duplicates would mean per-key state (applyInPandasWithState) was
+    lost on restore; missing rows would mean source offsets replayed
+    wrong."""
+    import os
+
+    from pyspark.sql import Window
+    from gmall2021_flink_dw_spark.streaming.stateful import uv_dedup_ttl_stream
+
+    events = load_table(spark, SF, "events")
+    root = tempfile.mkdtemp(prefix="ckpt_restart_")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ck")
+    os.makedirs(src)
+    try:
+        ntile = F.ntile(6).over(Window.orderBy("ts", "event_id"))
+        parts = events.withColumn("part", ntile)
+        def land(i):
+            parts.filter(F.col("part") == i).drop("part").coalesce(1).write.parquet(
+                os.path.join(src, f"b{i}")
+            )
+        for i in range(1, 4):
+            land(i)
+        schema = spark.read.parquet(os.path.join(src, "b1")).schema
+
+        def start():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(src, "b*"))
+            )
+            q = (
+                uv_dedup_ttl_stream(stream)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            return q
+
+        q1 = start()
+        q1.stop()  # simulated failure/redeploy after half the input
+        for i in range(4, 7):
+            land(i)
+        q2 = start()
+        q2.stop()
+
+        got = spark.read.parquet(out).toPandas()
+        want = spark.sql(
+            """
+            SELECT user_id, date_format(dt, 'yyyy-MM-dd') AS dt,
+                   event_id, unix_micros(cast(ts as timestamp)) AS ts_us,
+                   event_type
+            FROM (
+              SELECT user_id, date_trunc('day', ts) AS dt, event_id, ts,
+                     event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts, event_id) AS rn
+              FROM {events}
+            ) WHERE rn = 1
+            """,
+            events=events,
+        ).toPandas()
+        assert len(got) == len(want), (
+            f"restart broke exactly-once: {len(got)} vs {len(want)}"
+        )
+        pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_jump_cep_equivalence(spark, events_stream):
     """W7: applyInPandasWithState streaming CEP == lag/lead batch oracle.
     With watermark 0s and a single replay batch, timers for pendings

@@ -19,6 +19,14 @@ The batch oracle is operators/cep.py::detect_jumps (lag/lead form);
 tests/test_streaming.py asserts stream == batch on replay, mirroring how
 the reference validates CEP against its inline transcript
 (UserJumpDetailAppBak.java:28-43).
+
+Note on transformWithStateInPandas (Spark 4's state-v2 API with native
+value-state TTL): it would express the 24 h OnCreateAndWrite TTL of
+UniqueVisitApp.java:51-53 directly, but its Python state server needs
+google.protobuf, which is absent from this image (verified: the
+streaming runner crashes with ImportError on init). The
+applyInPandasWithState + event-time-timer forms below implement the
+same TTL semantics on the v1 API, which has no such dependency.
 """
 
 from __future__ import annotations

@@ -136,3 +136,27 @@ def foreach_batch_router(base_dir: str):
         )
 
     return _write
+
+
+def dynamic_foreach_batch_router(base_dir: str, config_provider):
+    """W6 dynamic broadcast-state refresh: the reference streams
+    table_process rule CHANGES into a broadcast state, so routing reacts
+    mid-job (BaseDBApp.java:74-98, TableProcessFunction.java:49-63). In
+    micro-batch Spark the equivalent is re-resolving the config at every
+    batch boundary: `config_provider(spark)` is called per epoch and its
+    (tiny) result broadcast-joined against the batch — a rule change
+    takes effect at the next micro-batch, the same granularity at which
+    the reference's broadcast state becomes visible to all tasks. The
+    config source can be a JDBC table, a CDC snapshot, or any
+    DataFrame-producing callable; no restart, no re-deploy."""
+    from gmall2021_flink_dw_spark.operators.routing import route
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        cfg = config_provider(batch_df.sparkSession)
+        routed = route(batch_df, cfg)
+        (
+            routed.write.mode("overwrite")
+            .parquet(os.path.join(base_dir, f"epoch={epoch_id}"))
+        )
+
+    return _write

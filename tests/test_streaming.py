@@ -363,6 +363,82 @@ def test_foreach_batch_router(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_dynamic_routing_config_update(spark):
+    """W6 dynamic broadcast state: routing rules change BETWEEN
+    micro-batches and the router must pick up the new rules at the next
+    epoch without a restart (BaseDBApp's broadcast rule stream). Batch 1
+    routes inserts+updates; the rules then drop the update route; batch
+    2 must route inserts only."""
+    import os
+
+    from gmall2021_flink_dw_spark.streaming.pipelines import (
+        dynamic_foreach_batch_router,
+    )
+
+    root = tempfile.mkdtemp(prefix="dynroute_")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    os.makedirs(src)
+    try:
+        cl = orders_changelog(spark, SF)
+        half = cl.filter(F.col("id") % 2 == 0)
+        other = cl.filter(F.col("id") % 2 == 1)
+        half.coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+        rules_v1 = [
+            ("order_info", "insert", "kafka", "dwd_order_info", "id"),
+            ("order_info", "update", "kafka", "dwd_order_info", "id"),
+        ]
+        rules_v2 = rules_v1[:1]  # update route removed mid-stream
+        current = {"rules": rules_v1}
+
+        def provider(sess):
+            return sess.createDataFrame(
+                current["rules"],
+                "source_table string, operate_type string, sink_type string, "
+                "sink_table string, sink_columns string",
+            )
+
+        schema = spark.read.parquet(os.path.join(src, "b1")).schema
+
+        def start():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(src, "b*"))
+            )
+            q = (
+                stream.writeStream.foreachBatch(
+                    dynamic_foreach_batch_router(out, provider)
+                )
+                .option("checkpointLocation", os.path.join(root, "ck"))
+                .start()
+            )
+            q.processAllAvailable()
+            return q
+
+        q = start()
+        # rule change lands between micro-batches
+        current["rules"] = rules_v2
+        other.coalesce(1).write.parquet(os.path.join(src, "b2"))
+        q.processAllAvailable()
+        q.stop()
+
+        e0 = spark.read.parquet(os.path.join(out, "epoch=0"))
+        e1 = spark.read.parquet(os.path.join(out, "epoch=1"))
+        ops0 = {r.op for r in e0.select("op").distinct().collect()}
+        ops1 = {r.op for r in e1.select("op").distinct().collect()}
+        assert "update" in ops0 and "insert" in ops0
+        assert ops1 == {"insert"}, f"new rules not applied: {ops1}"
+        # routed counts match the rule set in force at each epoch
+        want0 = half.filter(F.col("op") != "delete").count()
+        want1 = other.filter(F.col("op") == "insert").count()
+        assert e0.count() == want0
+        assert e1.count() == want1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_stream_stream_interval_join(spark):
     """J2 streaming twin: purchase stream x click stream with event-time
     range bounds and watermarks — same pairs as the batch interval join."""

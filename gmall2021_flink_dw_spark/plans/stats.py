@@ -256,6 +256,47 @@ def dws_product_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dws_order_quantiles_approx",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99_exact,
+           count(*) AS n,
+           TRUE AS sketch_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Quantile sketch path for 100 TB (companion to the exact "
+    "ads_order_quantiles): percentile_approx (t-digest-style mergeable "
+    "sketch, single pass, bounded memory) replaces the per-group sort "
+    "that exact percentile needs. Same driver-checkable treatment as "
+    "the HLL query: emit the exact percentiles plus sketch_ok = both "
+    "approx values within 2% of exact — the oracle pins the exact "
+    "columns and expects sketch_ok TRUE everywhere.",
+    tags=("dws", "agg", "quantile", "approx"),
+)
+def dws_order_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("_e50"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("_e99"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("_a50"),
+        F.expr("percentile_approx(o_totalprice, 0.99, 10000)").alias("_a99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ok = (
+        (F.abs(F.col("_a50") - F.col("_e50")) <= 0.02 * F.col("_e50"))
+        & (F.abs(F.col("_a99") - F.col("_e99")) <= 0.02 * F.col("_e99"))
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round("_e50", 6).alias("p50_exact"),
+        F.round("_e99", 6).alias("p99_exact"),
+        "n",
+        ok.alias("sketch_ok"),
+    )
+
+
 _CVS_STT, _CVS_EDT = duck_window_bounds("ts", _HOUR)
 
 

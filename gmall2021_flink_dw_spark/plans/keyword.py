@@ -39,12 +39,20 @@ from gmall2021_flink_dw_spark.sources.batch import load_table
 )
 def dws_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    return (
+    # two-phase distinct: pre-aggregate on (word, doc_id) then count the
+    # doc groups — no Expand doubling the exploded-token shuffle, and
+    # both phases stack on the explicit repartition (one shuffle).
+    pre = (
         docs.select("doc_id", F.explode(tokenize("text")).alias("word"))
-        .groupBy("word")
+        .repartition(F.col("word"))
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        pre.groupBy("word")
         .agg(
-            F.count(F.lit(1)).alias("ct"),
-            F.countDistinct("doc_id").alias("doc_ct"),
+            F.sum("_c").alias("ct"),
+            F.count(F.lit(1)).alias("doc_ct"),
         )
         .select(
             F.col("word").alias("keyword"),

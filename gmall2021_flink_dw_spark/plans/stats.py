@@ -50,16 +50,34 @@ _VS_STT, _VS_EDT = duck_window_bounds("ts", _HOUR)
 def dws_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     stt, edt = window_bounds("ts", _HOUR)
-    return (
-        ev.groupBy(F.window("ts", f"{_HOUR} seconds"), "event_type")
+    # Two-phase exact distinct (the dws_product_stats single-shuffle
+    # pattern): TWO countDistincts mixed with plain aggregates would
+    # plan a 3-branch Expand — triple the shuffled event rows. Instead
+    # pre-aggregate per (window, event_type, user_id) and derive both
+    # distinct counts by counting/filtering the user groups; the
+    # explicit repartition keys are a subset of both clusterings, so
+    # everything stacks on ONE shuffle.
+    pre = (
+        ev.withColumn("w", F.window("ts", f"{_HOUR} seconds"))
+        .repartition(F.col("w"), F.col("event_type"))
+        .groupBy("w", "event_type", "user_id")
         .agg(
-            F.count(F.lit(1)).alias("pv_ct"),
-            F.countDistinct("user_id").alias("uv_ct"),
-            F.countDistinct(
-                F.when(F.col("event_type") == "signup", F.col("user_id"))
-            ).alias("new_uv_ct"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("dur_sum"),
+            F.count(F.lit(1)).alias("_pv"),
+            F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias(
+                "_signup"
+            ),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_dur"),
         )
+    )
+    return (
+        pre.groupBy("w", "event_type")
+        .agg(
+            F.sum("_pv").alias("pv_ct"),
+            F.count(F.lit(1)).alias("uv_ct"),
+            F.sum("_signup").alias("new_uv_ct"),
+            F.sum("_dur").cast("double").alias("dur_sum"),
+        )
+        .withColumn("window", F.col("w"))
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
             F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),

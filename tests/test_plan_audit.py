@@ -148,7 +148,14 @@ def test_bench_paths_codegen_no_python(spark, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["dws_province_stats", "dws_product_stats", "dws_product_stats_approx"]
+    "name",
+    [
+        "dws_province_stats",
+        "dws_product_stats",
+        "dws_product_stats_approx",
+        "dws_visitor_stats",
+        "dws_keyword_stats",
+    ],
 )
 def test_two_phase_distinct_no_expand(spark, name):
     """Exact/approx distinct queries use the two-phase pre-aggregate form:

@@ -41,14 +41,22 @@ _RULES_SQL = """
     tags=("cdc", "source"),
 )
 def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    # two-phase distinct (no Expand): pre-aggregate per (op, id), then
+    # count the id groups — decimal partials keep the sum exact under
+    # re-association
+    pre = (
         orders_changelog(spark, sf_dir)
-        .groupBy("op")
+        .repartition(F.col("op"))
+        .groupBy("op", "id")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("id").alias("n_keys"),
-            F.sum("after_total").cast("double").alias("total_after"),
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("after_total").alias("_total"),
         )
+    )
+    return pre.groupBy("op").agg(
+        F.sum("_n").alias("n"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_total").cast("double").alias("total_after"),
     )
 
 

@@ -73,9 +73,13 @@ def dwd_clean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dwd_event_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams = split_by_type(_events(spark, sf_dir))
+    # two-phase distinct (no Expand): per-user pre-aggregate, then the
+    # global count/sum over the user groups
     parts = [
-        df.groupBy()
-        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+        df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy()
+        .agg(F.sum("_n").alias("n"), F.count(F.lit(1)).alias("n_users"))
         .select(F.lit(name).alias("stream"), "n", "n_users")
         for name, df in streams.items()
     ]

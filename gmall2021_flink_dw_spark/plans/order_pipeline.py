@@ -142,9 +142,13 @@ def dwm_order_wide_missdrop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         drop_on_miss=True,
     )
-    return wide.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct(F.col("o.o_orderkey")).alias("n_orders"),
+    # two-phase distinct (no Expand): per-order pre-aggregate, then the
+    # global row/order counts over the order groups
+    pre = wide.groupBy(F.col("o.o_orderkey")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return pre.groupBy().agg(
+        F.sum("_n").alias("n_rows"), F.count(F.lit(1)).alias("n_orders")
     )
 
 

@@ -170,6 +170,27 @@ def test_two_phase_distinct_no_expand(spark, name):
     )
 
 
+# Sanctioned Expands: grouping sets (one branch per set) and sliding
+# windows (one copy per overlapping window) — in both, the replication
+# IS the operator's semantics, not an implementation accident.
+EXPAND_ALLOWED = {"dws_sales_rollup", "dws_sales_cube", "dws_hopping_stats"}
+
+
+@pytest.mark.parametrize("name", sorted(BATCH))
+def test_no_expand_outside_grouping_sets(spark, name):
+    """Catalyst plans an Expand when COUNT(DISTINCT) mixes with plain
+    aggregates — multiplying the shuffled fact rows by the branch count.
+    Every such query in the catalog uses the two-phase pre-aggregate
+    form instead; only rollup/cube (where Expand is the semantics) may
+    carry one."""
+    if name in EXPAND_ALLOWED:
+        return
+    plan = plan_of(spark, name)
+    assert "Expand" not in plan, (
+        f"{name}: Expand in plan — rewrite with the two-phase distinct"
+    )
+
+
 def test_ngram_df_cap_in_plan(spark):
     """The registered dedup_ngram_jaccard must carry the df cap: the hot
     shingles are removed by a broadcast LeftAnti join before the

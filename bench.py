@@ -86,6 +86,8 @@ HEADLINE = [
     "cdc_snapshot_at",
     "streaming_interval_join",
     "pack_sequences",
+    "dws_promo_window_stats",
+    "dws_order_quantiles_approx",
 ]
 
 

@@ -315,6 +315,111 @@ def dws_order_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROMO_W_US = 2 * _DAY * 1_000_000  # promo duration == bin width
+
+
+@register(
+    "dws_promo_window_stats",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT epoch_us(date_trunc('day', min(ts))) AS t0,
+             epoch_us(max(ts)) AS t1
+      FROM events
+    ), promos AS (
+      SELECT unnest(range(0, cast(ceil((t1 - t0)::double
+                                       / {7 * _DAY * 1_000_000}) as bigint)))
+               AS promo_id, t0
+      FROM bounds
+    ), p AS (
+      SELECT promo_id,
+             t0 + promo_id * {7 * _DAY * 1_000_000} AS start_us,
+             t0 + promo_id * {7 * _DAY * 1_000_000} + {_PROMO_W_US} AS end_us
+      FROM promos
+    )
+    SELECT p.promo_id, p.start_us,
+           count(e.event_id) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM p LEFT JOIN events e
+      ON epoch_us(e.ts) >= p.start_us AND epoch_us(e.ts) < p.end_us
+    GROUP BY 1, 2
+    """,
+    doc="Range join WITHOUT an equi key, done the scale way: promo "
+    "windows (first 2 days of each week, generated deterministically "
+    "from the event span) match events by ts containment. The naive "
+    "plan is a BroadcastNestedLoopJoin — O(rows x ranges). Here both "
+    "sides are BINNED at the max range width (each range spans <= 2 "
+    "bins, each event exactly 1), the join becomes an equi join on the "
+    "bin id plus a residual containment filter, and the plan audit "
+    "asserts no nested loop survives. This is the standard range-join "
+    "binning rewrite (Databricks' range-join hint does the same under "
+    "the hood). Left join keeps empty promos at zero.",
+    tags=("dws", "join", "range-join", "agg"),
+)
+def dws_promo_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    week_us = 7 * _DAY * 1_000_000
+    bounds = ev.agg(
+        F.unix_micros(
+            F.date_trunc("day", F.timestamp_micros(F.min("ts_us")))
+        ).alias("t0"),
+        F.max("ts_us").alias("t1"),
+    )
+    promos = (
+        bounds.select(
+            "t0",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil((F.col("t1") - F.col("t0")) / F.lit(week_us)) - 1,
+                )
+            ).alias("promo_id"),
+        )
+        .select(
+            "promo_id",
+            (F.col("t0") + F.col("promo_id") * week_us).alias("start_us"),
+            (
+                F.col("t0") + F.col("promo_id") * week_us + _PROMO_W_US
+            ).alias("end_us"),
+        )
+    )
+    # bin at the max range width: a range spans <= 2 bins, an event 1
+    p_binned = promos.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_us") / _PROMO_W_US),
+                F.floor((F.col("end_us") - 1) / _PROMO_W_US),
+            )
+        ),
+    )
+    e_binned = ev.withColumn("bin", F.floor(F.col("ts_us") / _PROMO_W_US))
+    joined = e_binned.join(F.broadcast(p_binned), "bin", "inner")
+    matched = joined.filter(
+        (F.col("ts_us") >= F.col("start_us")) & (F.col("ts_us") < F.col("end_us"))
+    )
+    # two-phase distinct users per promo; left join back to keep empty
+    # promos at zero
+    pre = matched.groupBy("promo_id", "start_us", "user_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    counts = pre.groupBy("promo_id", "start_us").agg(
+        F.sum("_n").alias("n_events"), F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        promos.join(counts.drop("start_us"), "promo_id", "left")
+        .select(
+            "promo_id",
+            "start_us",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+        )
+    )
+
+
 _CVS_STT, _CVS_EDT = duck_window_bounds("ts", _HOUR)
 
 

@@ -124,6 +124,12 @@ def main() -> None:
             ).save()
             el = time.perf_counter() - t0
             times[name] = round(min(times.get(name, float("inf")), el), 3)
+        # Drop per-call persisted intermediates (shingle tables, simhash
+        # signatures, ...) between passes: each call re-persists its own
+        # copy and nothing unpersists, so without this the executor
+        # storage pool fills across passes and later passes measure
+        # eviction/GC pressure instead of the plans.
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_queries_total",

@@ -427,8 +427,6 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "text", "dedup"),
 )
 def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import types as T
-
     from gmall2021_flink_dw_spark.datapipe.text import let
 
     docs = with_tokens(load_table(spark, sf_dir, "documents"))

@@ -57,14 +57,22 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS): surfaced as long nanos under
-    # spark.sql.legacy.parquet.nanosAsLong. Truncate to micros (exactly
-    # what DuckDB does reading the same file) and expose a real timestamp.
-    # `div` is integer division — double division would lose precision on
-    # ~1.7e18 nano values.
+    # Normalize events.ts to TIMESTAMP (LTZ; session tz is pinned UTC so
+    # values equal the tz-naive DuckDB reading) regardless of how the
+    # driver generated the parquet:
+    # - TIMESTAMP(NANOS): surfaced as long nanos under
+    #   spark.sql.legacy.parquet.nanosAsLong -> truncate to micros
+    #   (exactly what DuckDB does) with integer `div` (double division
+    #   would lose precision on ~1.7e18 nano values);
+    # - timestamp[us] without tz: surfaced as TIMESTAMP_NTZ under
+    #   inferTimestampNTZ -> cast to TIMESTAMP (interpreted in the UTC
+    #   session tz, value-identical), since watermarks/windows and the
+    #   epoch functions downstream expect the LTZ type.
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -20,6 +20,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from gmall2021_flink_dw_spark.sources.batch import load_table
 
@@ -49,10 +50,18 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     stream = spark.readStream.schema(raw_schema).parquet(
         _as_stream_dir(sf_dir, name)
     )
-    if name == "events":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    # mirror load_table's ts normalization: long nanos -> micros when the
+    # parquet stores TIMESTAMP(NANOS) (surfaced as long under
+    # nanosAsLong); TIMESTAMP_NTZ -> TIMESTAMP when it stores tz-naive
+    # timestamp[us] (withWatermark rejects NTZ event-time columns, and
+    # the session tz is pinned UTC so the cast is value-identical).
+    for fld in raw_schema.fields:
+        if fld.name == "ts" and isinstance(fld.dataType, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif fld.name == "ts" and isinstance(fld.dataType, T.TimestampNTZType):
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     # sanity: streaming schema must equal batch schema
     assert [f.name for f in stream.schema.fields] == [
         f.name for f in batch_df.schema.fields

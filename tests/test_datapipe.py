@@ -45,13 +45,37 @@ def test_ngram_df_cap_recall(spark, exact_pairs):
 
 
 def test_minhash_lsh_recall(spark, exact_pairs):
-    got = REGISTRY["dedup_minhash_lsh"].fn(spark, ORACLE_SF).toPandas()
+    # the raw LSH path (the registered query wraps it in the
+    # exact-rows-plus-recall_ok driver-checkable form)
+    from gmall2021_flink_dw_spark.datapipe.dedup import minhash_lsh_pairs
+    from gmall2021_flink_dw_spark.sources.batch import load_table
+
+    got = minhash_lsh_pairs(
+        load_table(spark, ORACLE_SF, "documents"), n=5, threshold=0.5
+    ).toPandas()
     got_pairs = {(int(a), int(b)) for a, b in zip(got.doc_a, got.doc_b)}
     assert exact_pairs, "fixture data should contain near-dup pairs"
     # candidates are verified with exact jaccard, so no false positives
     assert got_pairs <= exact_pairs
     recall = len(got_pairs & exact_pairs) / len(exact_pairs)
     assert recall >= 0.9, f"LSH recall {recall:.2f} below bound"
+
+
+def test_checked_query_flags(spark):
+    """Every driver-checkable sketch query must emit its flag columns
+    all-TRUE on the oracle SF (the same pin the DuckDB oracle applies)."""
+    flag_cols = {
+        "dedup_minhash_lsh": ("recall_ok",),
+        "dedup_simhash": ("recall_ok",),
+        "ann_bucketed": ("recall_ok",),
+        "ann_ivf": ("recall_ok",),
+        "dedup_embedding_lsh": ("recall_ok", "precision_ok"),
+    }
+    for name, cols in flag_cols.items():
+        df = REGISTRY[name].fn(spark, ORACLE_SF).toPandas()
+        assert len(df) > 0, f"{name}: empty result"
+        for c in cols:
+            assert df[c].all(), f"{name}.{c} not all TRUE"
 
 
 def test_simhash_arrow_matches_sql(spark):
@@ -69,14 +93,24 @@ def test_simhash_arrow_matches_sql(spark):
     assert a.equals(b)
 
 
-def test_simhash_pairs_form(spark):
-    df = REGISTRY["dedup_simhash"].fn(spark, ORACLE_SF).toPandas()
+@pytest.fixture(scope="module")
+def simhash_raw(spark):
+    from gmall2021_flink_dw_spark.datapipe.dedup import simhash_pairs
+    from gmall2021_flink_dw_spark.sources.batch import load_table
+
+    return simhash_pairs(
+        load_table(spark, ORACLE_SF, "documents"), max_hamming=6
+    ).toPandas()
+
+
+def test_simhash_pairs_form(simhash_raw):
+    df = simhash_raw
     assert (df.doc_a < df.doc_b).all()
     assert (df.hamming <= 6).all()
 
 
-def test_simhash_finds_near_dups(spark, exact_pairs):
-    df = REGISTRY["dedup_simhash"].fn(spark, ORACLE_SF).toPandas()
+def test_simhash_finds_near_dups(spark, simhash_raw, exact_pairs):
+    df = simhash_raw
     got = {(int(a), int(b)) for a, b in zip(df.doc_a, df.doc_b)}
     # very-high-jaccard pairs should mostly collide in simhash space
     high = REGISTRY["dedup_ngram_jaccard"].fn(spark, ORACLE_SF).toPandas()
@@ -90,9 +124,26 @@ def test_simhash_finds_near_dups(spark, exact_pairs):
         assert recall >= 0.8, f"simhash recall on j>=0.95 pairs: {recall:.2f}"
 
 
+def _emb_base_queries(spark):
+    from pyspark.sql import functions as F
+
+    from gmall2021_flink_dw_spark.datapipe.ann import as_double
+    from gmall2021_flink_dw_spark.sources.batch import load_table
+
+    emb = load_table(spark, ORACLE_SF, "embeddings")
+    base = emb.select("vec_id", as_double("embedding").alias("emb"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), as_double("embedding").alias("q_emb")
+    )
+    return base, queries
+
+
 def test_bucketed_ann_recall(spark):
+    from gmall2021_flink_dw_spark.datapipe.ann import bucketed_topk
+
+    base, queries = _emb_base_queries(spark)
     brute = REGISTRY["ann_topk"].fn(spark, ORACLE_SF).toPandas()
-    approx = REGISTRY["ann_bucketed"].fn(spark, ORACLE_SF).toPandas()
+    approx = bucketed_topk(base, queries, k=5).toPandas()
     b = {(int(q), int(v)) for q, v in zip(brute.q_id, brute.vec_id)}
     a = {(int(q), int(v)) for q, v in zip(approx.q_id, approx.vec_id)}
     # sign-bucket ANN trades recall for a 64x search-space cut; with
@@ -143,8 +194,19 @@ def test_embedding_lsh_recall(spark):
     """The bucketed (scale-path) embedding dedup verifies candidates
     with true cosine, so its pairs are a subset of the exact GEMM pairs;
     multi-probe must keep recall well above the single-bucket floor."""
+    from pyspark.sql import functions as F
+
+    from gmall2021_flink_dw_spark.datapipe.ann import (
+        as_double,
+        bucketed_cosine_pairs,
+    )
+    from gmall2021_flink_dw_spark.sources.batch import load_table
+
+    emb = load_table(spark, ORACLE_SF, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
     exact = REGISTRY["dedup_embedding_cosine"].fn(spark, ORACLE_SF).toPandas()
-    lsh = REGISTRY["dedup_embedding_lsh"].fn(spark, ORACLE_SF).toPandas()
+    lsh = bucketed_cosine_pairs(emb, threshold=0.45, bits=6).toPandas()
     ep = {(int(a), int(b)) for a, b in zip(exact.vec_a, exact.vec_b)}
     lp = {(int(a), int(b)) for a, b in zip(lsh.vec_a, lsh.vec_b)}
     assert ep, "exact pair set should be non-empty at this threshold"
@@ -154,8 +216,11 @@ def test_embedding_lsh_recall(spark):
 
 
 def test_ivf_ann_recall(spark):
+    from gmall2021_flink_dw_spark.datapipe.ann import ivf_topk
+
+    base, queries = _emb_base_queries(spark)
     brute = REGISTRY["ann_topk"].fn(spark, ORACLE_SF).toPandas()
-    approx = REGISTRY["ann_ivf"].fn(spark, ORACLE_SF).toPandas()
+    approx = ivf_topk(base, queries, n_lists=16, n_probe=4, k=5).toPandas()
     b = {(int(q), int(v)) for q, v in zip(brute.q_id, brute.vec_id)}
     a = {(int(q), int(v)) for q, v in zip(approx.q_id, approx.vec_id)}
     # 4-probe over 16 lists scans ~1/4 of the corpus; with the trained

@@ -20,12 +20,16 @@ from __future__ import annotations
 
 import re
 
-# Common-word dictionary: e-commerce / search / web-log vocabulary of the
+from gmall2021_flink_dw_spark.functions.zh_lexicon import GENERAL_ZH
+
+# Domain dictionary: e-commerce / search / web-log vocabulary of the
 # reference's domain (gmall is a retail demo: search keywords are phone
-# brands, appliance categories, marketing phrases) plus general function
-# words so ordinary phrases segment well. Longest-match wins; single
-# characters never need listing (unmatched chars emit as themselves).
-ZH_DICT = frozenset(
+# brands, appliance categories, marketing phrases). The general lexicon
+# (~1.7k high-frequency words, functions/zh_lexicon.py) covers ordinary
+# news/social text so out-of-domain sentences segment into words, not
+# characters. Longest-match wins; single characters never need listing
+# (unmatched chars emit as themselves).
+_DOMAIN_ZH = frozenset(
     {
         # brands / products
         "小米", "手机", "苹果", "华为", "荣耀", "三星", "联想", "电脑",
@@ -55,6 +59,8 @@ ZH_DICT = frozenset(
         "很好", "发货", "速度", "快", "慢",
     }
 )
+
+ZH_DICT = _DOMAIN_ZH | GENERAL_ZH
 _MAX_WORD = max(len(w) for w in ZH_DICT)
 
 # CJK Unified Ideographs (BMP block) — the range IK's lexer treats as

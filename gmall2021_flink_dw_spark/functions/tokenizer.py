@@ -47,6 +47,32 @@ _RUN_RE = re.compile(f"({TOKEN_RE})|([一-鿿]+)")
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_udf_fmm(texts: pd.Series) -> pd.Series:
+    """tokenize_udf pinned to the vendored FMM segmenter, jieba hook
+    excluded: the CJK golden oracle (dws_keyword_stats_zh) hand-pins
+    expected FMM tokens, so this path must produce byte-identical
+    output on every deployment — including ones where jieba IS
+    installed and the generic tokenize_udf would prefer it."""
+    from gmall2021_flink_dw_spark.functions.segment_zh import fmm_segment
+
+    def _one(t):
+        if t is None:
+            return []
+        try:
+            out = []
+            for m in _RUN_RE.finditer(t.lower()):
+                if m.group(1) is not None:
+                    out.append(m.group(1))
+                else:
+                    out.extend(fmm_segment(m.group(2)))
+            return out
+        except Exception:
+            return [t]
+
+    return texts.map(_one)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
 def tokenize_udf(texts: pd.Series) -> pd.Series:
     """D1 as an Arrow-batched pandas UDF (the UDTF slow path, IKAnalyzer
     parity: KeywordUtil.java:13-35). ASCII alnum runs tokenize by the

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gmall2021_flink_dw_spark.functions.tokenizer import TOKEN_RE, tokenize, tokenize_udf
+from gmall2021_flink_dw_spark.functions.tokenizer import (
+    TOKEN_RE,
+    tokenize,
+    tokenize_udf,
+    tokenize_udf_fmm,
+)
 from gmall2021_flink_dw_spark.registry import register
 from gmall2021_flink_dw_spark.session import ensure_workers_can_import
 from gmall2021_flink_dw_spark.sources.batch import load_table
@@ -87,4 +92,76 @@ def dws_keyword_stats_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("ct"))
         .select(F.col("word").alias("keyword"), "ct")
+    )
+
+
+# CJK corpus for the segmentation query: the driver's documents table is
+# lowercase-English synthetic text, in which the Chinese-segmentation
+# path contributes zero tokens — so this query carries its own corpus,
+# inlined identically on both engines (Spark createDataFrame here, a
+# VALUES-pinned expectation in the oracle). Mixed-script rows exercise
+# the run splitter (ASCII alnum runs bypass the segmenter).
+_ZH_CORPUS = (
+    (1, "小米手机大优惠今天包邮"),
+    (2, "政府宣布新的经济政策支持科技创新"),
+    (3, "我在朋友圈给他的照片点赞"),
+    (4, "记者采访了这位著名科学家"),
+    (5, "昨天晚上他们在餐厅吃饭聊天"),
+    (6, "人工智能技术正在改变我们的生活"),
+    (7, "学生们认真复习准备明天的考试"),
+    (8, "大数据实时数仓项目用户行为分析"),
+    (9, "华为笔记本电脑质量很好价格便宜"),
+    (10, "iPhone15 去年双11秒杀五折包邮"),
+)
+
+# Hand-pinned FMM output for _ZH_CORPUS (reviewed token by token): the
+# oracle is a golden EXPECTATION, not a recomputation — DuckDB cannot
+# run the segmenter, so a drift in dictionary, matcher, or the Arrow
+# UDF plumbing shows up as a driver hash mismatch.
+_ZH_EXPECTED = (
+    ("11", 1), ("iphone15", 1), ("了", 1), ("五", 1), ("人工智能", 1),
+    ("今天", 1), ("他", 1), ("他们", 1), ("们", 1), ("价格", 1),
+    ("优惠", 1), ("位", 1), ("便宜", 1), ("准备", 1), ("分析", 1),
+    ("创新", 1), ("包邮", 2), ("华为", 1), ("去年", 1), ("双", 1),
+    ("吃饭", 1), ("在", 2), ("复习", 1), ("大", 1), ("大数据", 1),
+    ("学生", 1), ("实时", 1), ("宣布", 1), ("小米", 1), ("很好", 1),
+    ("我", 1), ("我们", 1), ("手机", 1), ("技术", 1), ("折", 1),
+    ("支持", 1), ("改变", 1), ("政府", 1), ("政策", 1), ("数仓", 1),
+    ("新", 1), ("明天", 1), ("昨天", 1), ("晚上", 1), ("朋友圈", 1),
+    ("正在", 1), ("点赞", 1), ("照片", 1), ("生活", 1), ("用户", 1),
+    ("电脑", 1), ("的", 4), ("科学家", 1), ("科技", 1), ("秒杀", 1),
+    ("笔记本", 1), ("经济", 1), ("给", 1), ("考试", 1), ("聊天", 1),
+    ("著名", 1), ("行为", 1), ("认真", 1), ("记者", 1), ("质量", 1),
+    ("这", 1), ("采访", 1), ("项目", 1), ("餐厅", 1),
+)
+
+_ZH_VALUES = ",\n      ".join(f"('{w}', {n})" for w, n in _ZH_EXPECTED)
+
+
+@register(
+    "dws_keyword_stats_zh",
+    oracle=f"""
+    SELECT keyword, ct FROM (VALUES
+      {_ZH_VALUES}
+    ) AS t(keyword, ct)
+    """,
+    doc="D1 Chinese segmentation end-to-end under the driver's hash "
+    "check (KeywordUtil.java:13-35 loads IK's dictionary; here the FMM "
+    "re-implementation over the vendored domain+general lexicon, "
+    "functions/segment_zh.py + zh_lexicon.py): inline CJK corpus -> "
+    "Arrow pandas-UDF tokenizer (FMM pinned, jieba hook excluded for "
+    "cross-deployment determinism) -> explode -> per-word counts, "
+    "compared against a hand-reviewed golden VALUES expectation. "
+    "Mixed-script rows prove ASCII runs bypass the segmenter.",
+    tags=("dws", "udtf", "udf", "text", "cjk"),
+)
+def dws_keyword_stats_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers_can_import(spark)
+    corpus = spark.createDataFrame(
+        list(_ZH_CORPUS), "doc_id long, text string"
+    )
+    return (
+        corpus.select(F.explode(tokenize_udf_fmm("text")).alias("keyword"))
+        .groupBy("keyword")
+        .agg(F.count(F.lit(1)).alias("ct"))
     )

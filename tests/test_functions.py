@@ -125,3 +125,62 @@ def test_kafka_sink_builders_construct(spark):
     w2 = kafka_dynamic_topic_sink(routed, "sink_table", "broker:9092", "/tmp/ck2")
     assert w2 is not None
     assert console_sink(stream) is not None
+
+
+def test_fmm_out_of_domain_golden():
+    """The expanded general lexicon (functions/zh_lexicon.py) must
+    segment ordinary news/social/daily text into WORDS, not characters
+    — the failure mode of a domain-only dictionary. Goldens are
+    hand-reviewed segmentations; function words (的/了/在) correctly
+    stay single."""
+    from gmall2021_flink_dw_spark.functions.segment_zh import fmm_segment
+
+    assert fmm_segment("今天天气很好我们一起去公园散步") == [
+        "今天", "天气", "很好", "我们", "一起", "去", "公园", "散步",
+    ]
+    assert fmm_segment("政府宣布新的经济政策支持科技创新") == [
+        "政府", "宣布", "新", "的", "经济", "政策", "支持", "科技", "创新",
+    ]
+    assert fmm_segment("记者采访了这位著名科学家") == [
+        "记者", "采访", "了", "这", "位", "著名", "科学家",
+    ]
+    assert fmm_segment("人工智能技术正在改变我们的生活") == [
+        "人工智能", "技术", "正在", "改变", "我们", "的", "生活",
+    ]
+
+
+def test_fmm_multiword_ratio_news():
+    """Aggregate over-segmentation guard: across a varied out-of-domain
+    sample, most emitted tokens must be multi-character words."""
+    from gmall2021_flink_dw_spark.functions.segment_zh import fmm_segment
+
+    sample = [
+        "昨天晚上他们在餐厅吃饭聊天",
+        "学生们认真复习准备明天的考试",
+        "公司宣布明年将在上海举办大型活动",
+        "医生建议病人每天锻炼身体保持健康",
+        "这部电影的故事非常感人观众都很喜欢",
+        "经济发展带来了就业机会和收入增长",
+    ]
+    toks = [w for s in sample for w in fmm_segment(s)]
+    multi = sum(len(w) > 1 for w in toks)
+    assert multi / len(toks) >= 0.6, toks
+
+
+def test_tokenize_udf_fmm_deterministic(spark):
+    """tokenize_udf_fmm must ignore the jieba hook entirely — identical
+    output on any deployment (it feeds the golden-pinned
+    dws_keyword_stats_zh oracle)."""
+    from gmall2021_flink_dw_spark.functions.tokenizer import tokenize_udf_fmm
+    from gmall2021_flink_dw_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    df = spark.createDataFrame(
+        [(1, "小米手机 iPhone 15 优惠券"), (2, None)],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r.t for r in df.select(
+        "doc_id", tokenize_udf_fmm("text").alias("t")
+    ).collect()}
+    assert rows[1] == ["小米", "手机", "iphone", "15", "优惠券"]
+    assert rows[2] == []

@@ -89,6 +89,12 @@ def _jump_fn(
     rows = pd.concat(list(pdfs))
     rows = rows.sort_values(["ts_us", "event_id"])
 
+    # Python row loop, deliberately: an ordered state-machine transition
+    # per event cannot vectorize, and the iteration count is bounded by
+    # ONE KEY's rows in ONE micro-batch (a handful at any realistic
+    # per-user event rate) — not by partition or corpus size. Chunking/
+    # multi-batch behavior is property-tested in
+    # tests/test_state_machines.py.
     for ev_id, ts_us in zip(rows["event_id"], rows["ts_us"]):
         ts_us = int(ts_us)
         ev_id = int(ev_id)
@@ -179,6 +185,8 @@ def _uv_ttl_fn(
     user_id = key[0]
     out: list[tuple[int, str, int, int, str]] = []
     rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+    # per-key-per-batch row loop: bounded like _jump_fn's (see comment
+    # there); day-transition logic is order-dependent by design
     for ev_id, ts_us, ev_type in zip(
         rows["event_id"], rows["ts_us"], rows["event_type"]
     ):

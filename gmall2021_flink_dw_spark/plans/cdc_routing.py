@@ -179,3 +179,53 @@ def cdc_dim_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("after_total").cast("double").alias("after_total"),
         "ts_us",
     )
+
+
+@register(
+    "cdc_scd2",
+    oracle=f"""
+    WITH cl AS ({ORDERS_CHANGELOG_ORACLE}),
+    v AS (
+      SELECT id, op, after_status, after_total, ts_us,
+             lead(ts_us) OVER (PARTITION BY id ORDER BY ts_us, op)
+               AS valid_to_us
+      FROM cl
+    )
+    SELECT id,
+           row_number() OVER (PARTITION BY id ORDER BY ts_us, op) AS version,
+           after_status AS status,
+           cast(after_total as double) AS total,
+           ts_us AS valid_from_us,
+           valid_to_us,
+           (valid_to_us IS NULL) AS is_current
+    FROM v WHERE op <> 'delete'
+    """,
+    doc="SCD Type-2 dimension history from the CDC stream — the interval "
+    "form of the reference's dim layer (DimSinkFunction.java keeps only "
+    "last-writer-wins; a warehouse also needs the history): each "
+    "non-delete event opens a version valid [ts, next-event ts); a "
+    "delete closes the last version without opening one; the open "
+    "version is flagged current. One shuffle on the key; both window "
+    "functions share the (id; ts,op) sort order, so Catalyst plans a "
+    "single exchange — at 100 TB this is the standard "
+    "changelog->dim-history compaction, partitionable by key.",
+    tags=("cdc", "scd2", "window"),
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cl = orders_changelog(spark, sf_dir)
+    w = Window.partitionBy("id").orderBy("ts_us", "op")
+    versions = cl.withColumn("valid_to_us", F.lead("ts_us").over(w)).filter(
+        F.col("op") != "delete"
+    )
+    wv = Window.partitionBy("id").orderBy("ts_us", "op")
+    return versions.select(
+        "id",
+        F.row_number().over(wv).alias("version"),
+        F.col("after_status").alias("status"),
+        F.col("after_total").cast("double").alias("total"),
+        F.col("ts_us").alias("valid_from_us"),
+        "valid_to_us",
+        F.col("valid_to_us").isNull().alias("is_current"),
+    )

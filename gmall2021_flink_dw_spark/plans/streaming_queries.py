@@ -310,3 +310,81 @@ def streaming_jump_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_cov") >= 0.95).alias("coverage_ok"),
         )
     )
+
+
+_SESS_GAP_S = 1800  # the engine's session gap (UserJumpDetailApp entry rule)
+
+
+@register(
+    "streaming_session_window",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          >= {_SESS_GAP_S}*1000000
+                  THEN 1 ELSE 0 END AS is_entry
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_entry) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), agg AS (
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+             strftime(max(ts) + INTERVAL {_SESS_GAP_S} SECOND,
+                      '%Y-%m-%d %H:%M:%S') AS edt,
+             epoch_us(max(ts)) + {_SESS_GAP_S}*1000000 AS end_us,
+             count(*) AS n_events,
+             cast(sum(cast(value as decimal(18,2))) as double) AS sv_value
+      FROM sessions GROUP BY user_id, sid
+    )
+    SELECT user_id, stt, edt, n_events, sv_value FROM agg
+    WHERE end_us <= (SELECT max(epoch_us(ts)) FROM events)
+    """,
+    doc="Native Structured Streaming SESSION windows "
+    "(F.session_window, the built-in operator Flink exposes as "
+    "EventTimeSessionWindows — the reference sessonizes by hand via "
+    "keyed state): per-user 30 min-gap sessions aggregated in streaming "
+    "state, append mode emits a session once the watermark (max event "
+    "time, 0 s delay) passes its end (= last event + gap). The oracle "
+    "reproduces Spark/Flink merge semantics exactly — a new session "
+    "starts when the gap is >= gapDuration (window ends are exclusive) "
+    "— and the emission cut in exact microseconds. Session state is "
+    "bounded by the watermark: closed sessions are evicted, so state "
+    "~ active users, not history.",
+    tags=("streaming", "window", "session", "agg"),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _stream_state_partitions(spark):
+        events = stream_table(spark, sf_dir, "events").withWatermark(
+            "ts", "0 seconds"
+        )
+        sess = (
+            events.groupBy(
+                F.session_window("ts", f"{_SESS_GAP_S} seconds"), "user_id"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sv_value"),
+            )
+            .select(
+                "user_id",
+                F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "stt"
+                ),
+                F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                    "edt"
+                ),
+                "n_events",
+                "sv_value",
+            )
+        )
+        name = f"ssw_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(sess, name, output_mode="append")
+        q.stop()
+    return spark.table(name)

@@ -38,13 +38,9 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# Modules that register queries on import. Order = driver-visibility
-# priority, NOT build order: the driver's correctness gate records a
-# bounded prefix of registration order (r01 recorded exactly the first
-# 50 entries), so the families that lacked r01 rows — the LLM-datapipe
-# layer, CDC routing, streaming, and the pandas-UDF tokenizer — register
-# first; the TPC-H shape set and the gmall DWD/DWS/ADS pipelines (all
-# green in CORRECTNESS_r01.json) follow.
+# Modules that register queries on import. Import order no longer
+# drives driver visibility — _DRIVER_WINDOW below explicitly orders the
+# correctness-gate prefix each round; modules just need to all load.
 _QUERY_MODULES = (
     "gmall2021_flink_dw_spark.plans.datapipe",
     "gmall2021_flink_dw_spark.plans.cdc_routing",
@@ -74,7 +70,83 @@ def register(
     return deco
 
 
+# Driver-visibility rotation (VERDICT r02 item 2): the driver's
+# correctness gate records a bounded PREFIX of the order queries()
+# returns (50 entries in r01/r02), so every round this list is rebuilt
+# to front-load (a) queries whose plan changed since their latest
+# CORRECTNESS row, (b) brand-new queries, then (c) the queries whose
+# newest driver row is oldest. Names listed here are surfaced first, in
+# order; everything else follows in registration order.
+#
+# r03 window: the six sketch queries rewritten into the
+# exact-rows+pinned-flag form this round, the three new queries (CJK
+# golden, SCD2, native session windows), then the 39 queries whose only
+# driver row is r01 (TPC-H shape set, ADS, advanced windows, order/log
+# DWM), then two r02-green queries most sensitive to this round's
+# ts-type loader change. Total = 50.
+_DRIVER_WINDOW = (
+    # (a) plan changed this round
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bucketed",
+    "ann_ivf",
+    "dedup_embedding_lsh",
+    "streaming_jump_detect",
+    # (b) new this round
+    "dws_keyword_stats_zh",
+    "cdc_scd2",
+    "streaming_session_window",
+    # (c) newest driver row = r01
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q4_semi",
+    "tpch_q16_anti",
+    "tpch_q12_caseagg",
+    "tpch_q14_promo",
+    "tpch_q18_bigorders",
+    "tpch_q19_disjunct",
+    "tpch_q2_mincost",
+    "tpch_q7_volume",
+    "tpch_q8_marketshare",
+    "tpch_q9_profit",
+    "tpch_q10_returns",
+    "tpch_q11_importance",
+    "tpch_q13_custdist",
+    "tpch_q15_topsupplier",
+    "tpch_q17_smallqty",
+    "tpch_q20_excess",
+    "tpch_q21_waiting",
+    "tpch_q22_inactive",
+    "dwm_user_jump",
+    "dwm_session_stats",
+    "dwm_order_wide",
+    "dwm_order_wide_missdrop",
+    "dwm_payment_wide",
+    "ads_gmv_by_day",
+    "ads_top_brands",
+    "ads_top_types",
+    "ads_top_parts",
+    "ads_top_parts_per_brand",
+    "ads_order_quantiles",
+    "cdc_asof_enrich",
+    "dws_session_window",
+    "dws_salted_agg",
+    "dws_hopping_stats",
+    "dws_sales_rollup",
+    "dws_sales_cube",
+    # (d) r02-green but most exposed to this round's ts-loader change
+    "streaming_visitor_stats",
+    "streaming_uv_dedup",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    return REGISTRY
+    missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
+    assert not missing, f"_DRIVER_WINDOW names not registered: {missing}"
+    ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    return ordered

@@ -27,6 +27,15 @@ STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
 
 
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the tokenized text as `__tokens`. Idempotent: a frame that
+    already carries __tokens passes through unchanged, so a caller can
+    tokenize (and persist) ONCE and feed several token-consuming
+    operators — the regexp tokenizer is the dominant per-row cost in
+    every text pipeline (see the projection-collapse note in `let`), and
+    at 100 TB the pre-tokenized corpus is the intermediate you
+    checkpoint."""
+    if "__tokens" in df.columns:
+        return df
     return df.withColumn("__tokens", tokenize(text_col))
 
 

@@ -237,7 +237,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # tokenize once for both the exact side and the LSH side
+    # (with_tokens is idempotent; both helpers reuse this column)
+    docs = with_tokens(load_table(spark, sf_dir, "documents")).persist()
     exact = ngram_jaccard_pairs(
         docs, n=5, threshold=0.5, max_df_frac=0.01, df_floor=5
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -273,7 +275,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    # shared tokenized corpus: the exact-high-Jaccard side shingles it,
+    # the simhash side hashes its tokens — one regexp pass, persisted
+    docs = with_tokens(load_table(spark, sf_dir, "documents")).persist()
     exact_hi = ngram_jaccard_pairs(
         docs, n=5, threshold=0.95, max_df_frac=0.01, df_floor=5
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))

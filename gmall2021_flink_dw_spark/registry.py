@@ -79,11 +79,11 @@ def register(
 # order; everything else follows in registration order.
 #
 # r03 window: the six sketch queries rewritten into the
-# exact-rows+pinned-flag form this round, the three new queries (CJK
-# golden, SCD2, native session windows), then the 39 queries whose only
-# driver row is r01 (TPC-H shape set, ADS, advanced windows, order/log
-# DWM), then two r02-green queries most sensitive to this round's
-# ts-type loader change. Total = 50.
+# exact-rows+pinned-flag form this round, the four new queries (CJK
+# golden, SCD2, native session windows, HLL sketch rollup), then the
+# 39 queries whose only driver row is r01 (TPC-H shape set, ADS,
+# advanced windows, order/log DWM), then the r02-green query most
+# sensitive to this round's ts-type loader change. Total = 50.
 _DRIVER_WINDOW = (
     # (a) plan changed this round
     "dedup_minhash_lsh",
@@ -96,6 +96,7 @@ _DRIVER_WINDOW = (
     "dws_keyword_stats_zh",
     "cdc_scd2",
     "streaming_session_window",
+    "dws_uv_sketch_rollup",
     # (c) newest driver row = r01
     "tpch_q1",
     "tpch_q3",
@@ -138,7 +139,6 @@ _DRIVER_WINDOW = (
     "dws_sales_cube",
     # (d) r02-green but most exposed to this round's ts-loader change
     "streaming_visitor_stats",
-    "streaming_uv_dedup",
 )
 
 

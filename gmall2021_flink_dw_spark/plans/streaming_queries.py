@@ -388,3 +388,61 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = run_to_memory(sess, name, output_mode="append")
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "streaming_hopping_stats",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value, epoch_us(ts) AS te FROM events
+    ), w AS (
+      SELECT event_type, value,
+             unnest(generate_series((te // 600000000) * 600000000 - 1200000000,
+                                    (te // 600000000) * 600000000,
+                                    600000000)) AS ws
+      FROM e
+    )
+    SELECT ws, event_type, count(*) AS pv,
+           cast(sum(cast(value as decimal(18,2))) as double) AS sv
+    FROM w
+    GROUP BY 1, 2
+    HAVING ws + 1800000000 <= (SELECT max(te) FROM e)
+    """,
+    doc="W3 HOPPING windows under Structured Streaming (size 30 min, "
+    "slide 10 min — the overlap form the reference runs as Flink "
+    "SlidingEventTimeWindows): native F.window(size, slide) with a 0 s "
+    "watermark, append mode emits a window once the watermark passes "
+    "its end; the oracle replays the 3x window assignment with "
+    "generate_series and cuts emission at exact microseconds. The 3x "
+    "expansion stays map-side inside the streaming partial aggregate — "
+    "the state shuffle carries (window, key) partials.",
+    tags=("streaming", "window", "hopping", "agg"),
+)
+def streaming_hopping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _stream_state_partitions(spark):
+        events = stream_table(spark, sf_dir, "events").withWatermark(
+            "ts", "0 seconds"
+        )
+        agg = (
+            events.groupBy(
+                F.window("ts", "30 minutes", "10 minutes"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("pv"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sv"),
+            )
+            .select(
+                F.unix_micros(F.col("window.start").cast("timestamp")).alias(
+                    "ws"
+                ),
+                "event_type",
+                "pv",
+                "sv",
+            )
+        )
+        name = f"shs_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(agg, name, output_mode="append")
+        q.stop()
+    return spark.table(name)

@@ -79,11 +79,10 @@ def register(
 # order; everything else follows in registration order.
 #
 # r03 window: the six sketch queries rewritten into the
-# exact-rows+pinned-flag form this round, the four new queries (CJK
-# golden, SCD2, native session windows, HLL sketch rollup), then the
-# 39 queries whose only driver row is r01 (TPC-H shape set, ADS,
-# advanced windows, order/log DWM), then the r02-green query most
-# sensitive to this round's ts-type loader change. Total = 50.
+# exact-rows+pinned-flag form this round, the five new queries (CJK
+# golden, SCD2, native session windows, HLL sketch rollup, streaming
+# hopping), then the 39 queries whose only driver row is r01 (TPC-H
+# shape set, ADS, advanced windows, order/log DWM). Total = 50.
 _DRIVER_WINDOW = (
     # (a) plan changed this round
     "dedup_minhash_lsh",
@@ -97,6 +96,7 @@ _DRIVER_WINDOW = (
     "cdc_scd2",
     "streaming_session_window",
     "dws_uv_sketch_rollup",
+    "streaming_hopping_stats",
     # (c) newest driver row = r01
     "tpch_q1",
     "tpch_q3",
@@ -137,8 +137,6 @@ _DRIVER_WINDOW = (
     "dws_hopping_stats",
     "dws_sales_rollup",
     "dws_sales_cube",
-    # (d) r02-green but most exposed to this round's ts-loader change
-    "streaming_visitor_stats",
 )
 
 

@@ -122,3 +122,56 @@ def frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 def sample_frames(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(frame_sample_batch, schema=FRAME_SCHEMA)
+
+
+EMBED_DIM = 16
+EMBED_SCHEMA = (
+    "doc_id long, dim int, emb_norm double, emb_sum double, "
+    "emb_head double, content_hash string"
+)
+
+
+def embed_stub(payload: bytes) -> list[float]:
+    """Deterministic fake feature extractor: a real deployment runs a
+    vision/audio encoder here (not in this image); the stub derives a
+    16-dim vector from the payload's md5 so the batch shape, dtype and
+    downstream ANN plumbing are exercised end to end. Components are
+    the ascii codes of the digest hex chars scaled to [0, 1] —
+    reproducible in ANY engine from the content hash alone, which is
+    what makes the stage oracle-checkable."""
+    import hashlib
+
+    h = hashlib.md5(payload).hexdigest()
+    return [ord(c) / 255.0 for c in h[:EMBED_DIM]]
+
+
+def embed_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: payload bytes -> feature vector per row, one
+    Arrow batch at a time (a production encoder would run its model on
+    the whole batch — the iteration contract is identical). Emits
+    scalar projections of the vector (norm/sum/head) rather than the
+    raw array so cross-engine value-hash comparison is formatting-free;
+    the vector itself feeds the ANN operators in a real pipeline."""
+    import math
+
+    for pdf in batches:
+        embs = [embed_stub(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "dim": [len(e) for e in embs],
+                "emb_norm": [
+                    round(math.sqrt(sum(x * x for x in e)), 6) for e in embs
+                ],
+                "emb_sum": [round(sum(e), 6) for e in embs],
+                "emb_head": [round(e[0], 6) for e in embs],
+                "content_hash": pdf["content_hash"],
+            }
+        )
+
+
+def extract_embeddings(with_payload: DataFrame) -> DataFrame:
+    """Feature-extraction stage over the payload column (SURVEY
+    'multimodal feature-extract'): binary in, typed features out, Arrow
+    batches end to end."""
+    return with_payload.mapInPandas(embed_batch, EMBED_SCHEMA)

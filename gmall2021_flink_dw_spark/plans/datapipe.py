@@ -1187,3 +1187,41 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_spurious") == 0).alias("precision_ok"),
         )
     )
+
+
+@register(
+    "multimodal_embed",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+    e AS (
+      SELECT doc_id, ch,
+             list_transform(range(1, 17),
+                            i -> ascii(substr(ch, i, 1)) / 255.0) AS emb
+      FROM h
+    )
+    SELECT doc_id, 16 AS dim,
+           round(sqrt(list_sum(list_transform(emb, x -> x*x))), 6) AS emb_norm,
+           round(list_sum(emb), 6) AS emb_sum,
+           round(emb[1], 6) AS emb_head,
+           ch AS content_hash
+    FROM e
+    """,
+    doc="Multimodal feature extraction: binary payload -> embedding "
+    "vector through a real Arrow mapInPandas stage "
+    "(datapipe/multimodal.py::extract_embeddings) — the batch-iteration "
+    "contract a production vision/audio encoder drops into (encoder "
+    "itself stubbed: libs absent by design; the stub derives the vector "
+    "from the content hash, which is exactly what makes the stage "
+    "oracle-checkable). Emits scalar projections (norm/sum/head) so the "
+    "cross-engine hash compare is array-formatting-free; the vector "
+    "feeds the ANN/dedup family in a real pipeline.",
+    tags=("datapipe", "multimodal", "udf", "ann"),
+)
+def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.multimodal import (
+        extract_embeddings,
+    )
+
+    ensure_workers_can_import(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_embeddings(attach_payload(docs))

@@ -79,9 +79,9 @@ def register(
 # order; everything else follows in registration order.
 #
 # r03 window: the six sketch queries rewritten into the
-# exact-rows+pinned-flag form this round, the five new queries (CJK
+# exact-rows+pinned-flag form this round, the six new queries (CJK
 # golden, SCD2, native session windows, HLL sketch rollup, streaming
-# hopping), then the 39 queries whose only driver row is r01 (TPC-H
+# hopping, multimodal embed), then the 39 queries whose only driver row is r01 (TPC-H
 # shape set, ADS, advanced windows, order/log DWM). Total = 50.
 _DRIVER_WINDOW = (
     # (a) plan changed this round
@@ -97,6 +97,7 @@ _DRIVER_WINDOW = (
     "streaming_session_window",
     "dws_uv_sketch_rollup",
     "streaming_hopping_stats",
+    "multimodal_embed",
     # (c) newest driver row = r01
     "tpch_q1",
     "tpch_q3",
@@ -136,7 +137,9 @@ _DRIVER_WINDOW = (
     "dws_salted_agg",
     "dws_hopping_stats",
     "dws_sales_rollup",
-    "dws_sales_cube",
+    # dws_sales_cube yields its slot to multimodal_embed: it is the
+    # grouping-set twin of dws_sales_rollup (same aggregate, wider
+    # grouping sets), so rollup's fresh row covers the shared path
 )
 
 

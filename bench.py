@@ -88,6 +88,15 @@ HEADLINE = [
     "pack_sequences",
     "dws_promo_window_stats",
     "dws_order_quantiles_approx",
+    # added r03 (totals again not comparable across rounds — compare
+    # per-query minima; the six pre-r03 sketch queries now embed their
+    # exact ground truth, see BASELINE.md r03 notes):
+    "cdc_scd2",
+    "dws_uv_sketch_rollup",
+    "dws_keyword_stats_zh",
+    "multimodal_embed",
+    "streaming_session_window",
+    "streaming_hopping_stats",
 ]
 
 

@@ -175,3 +175,48 @@ def extract_embeddings(with_payload: DataFrame) -> DataFrame:
     'multimodal feature-extract'): binary in, typed features out, Arrow
     batches end to end."""
     return with_payload.mapInPandas(embed_batch, EMBED_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_w int, out_h int, "
+    "scale double, resized_hash string"
+)
+
+
+def resize_stub(payload: bytes, max_side: int = 256) -> tuple:
+    """Deterministic fake resize: derive source dims from the payload
+    (decode_stub), scale the longer side down to max_side preserving
+    aspect ratio (never upscale), and fingerprint the 'resized pixels'
+    as md5(payload || out_w x out_h). A real PIL/opencv resize has the
+    identical signature and output shape."""
+    import hashlib
+
+    w, h = decode_stub(payload)
+    scale = min(1.0, max_side / max(w, h))
+    out_w, out_h = max(1, int(w * scale)), max(1, int(h * scale))
+    digest = hashlib.md5(payload + f"{out_w}x{out_h}".encode()).hexdigest()
+    return w, h, out_w, out_h, round(scale, 6), digest
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: per-row resize, 1:1, Arrow-batched — the
+    standard image-preprocessing stage of a multimodal training
+    pipeline (decode -> resize -> encode), with the pixel work stubbed
+    and every surrounding contract (schema, dtypes, batching) real."""
+    for pdf in batches:
+        rs = [resize_stub(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series([r[0] for r in rs], dtype="int32"),
+                "height": pd.Series([r[1] for r in rs], dtype="int32"),
+                "out_w": pd.Series([r[2] for r in rs], dtype="int32"),
+                "out_h": pd.Series([r[3] for r in rs], dtype="int32"),
+                "scale": [r[4] for r in rs],
+                "resized_hash": [r[5] for r in rs],
+            }
+        )
+
+
+def resize_images(with_payload: DataFrame) -> DataFrame:
+    return with_payload.mapInPandas(resize_batch, schema=RESIZE_SCHEMA)

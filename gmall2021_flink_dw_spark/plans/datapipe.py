@@ -1225,3 +1225,91 @@ def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     docs = load_table(spark, sf_dir, "documents")
     return extract_embeddings(attach_payload(docs))
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             (octet_length(text::BLOB) % 640) + 1 AS w,
+             (octet_length(text::BLOB) % 480) + 1 AS h
+      FROM documents
+    ), s AS (
+      SELECT doc_id, text, w, h,
+             least(1.0, 256.0 / greatest(w, h)) AS sc
+      FROM d
+    )
+    SELECT doc_id, w AS width, h AS height,
+           greatest(1, floor(w * sc))::INT AS out_w,
+           greatest(1, floor(h * sc))::INT AS out_h,
+           round(sc, 6) AS scale,
+           md5(text || (greatest(1, floor(w * sc))::INT::VARCHAR || 'x' ||
+                        greatest(1, floor(h * sc))::INT::VARCHAR))
+             AS resized_hash
+    FROM s
+    """,
+    doc="Multimodal resize stage (decode -> RESIZE -> encode, the "
+    "standard image-preprocessing step): aspect-preserving downscale to "
+    "a 256 max side, never upscaling, through the Arrow mapInPandas "
+    "contract a PIL/opencv resize drops into (pixel work stubbed — "
+    "codec libs absent by design; dims/scale/fingerprint math is real "
+    "and oracle-reproduced exactly, including the floor-truncation of "
+    "output dims).",
+    tags=("datapipe", "multimodal", "udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.multimodal import resize_images
+
+    ensure_workers_can_import(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(attach_payload(docs))
+
+
+# GPT-2-style pretokenizer, RE2-compatible (no lookahead — DuckDB's RE2
+# rejects it; the dropped `\s+(?!\S)` branch only matters for runs of
+# trailing whitespace, which md5-stable synthetic text doesn't produce):
+# contraction suffixes, space-merged alnum runs, space-merged punct
+# runs, whitespace. The " ?" prefixes are the BPE-ish part — a token
+# carries its leading space, as real BPE vocabularies do.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z0-9]+| ?[^\sa-z0-9]+|\s+"
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(lower(text),
+               '{_BPE_RE.replace("'", "''")}')) AS bpe_tokens,
+           round(length(text)::double /
+                 len(regexp_extract_all(lower(text),
+                     '{_BPE_RE.replace("'", "''")}')), 6) AS chars_per_token
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+    doc="Token counting both ways a data pipeline needs it: whitespace "
+    "tokens (the classic heuristic) and a BPE-ish pretokenizer count "
+    "(GPT-2-style pattern: contraction suffixes + space-merged runs — "
+    "the pre-merge unit count that tracks real tokenizer load far "
+    "better than whitespace). Pure codegen regexp on the JVM, one scan, "
+    "no shuffle; chars-per-token is the budgeting signal for sequence "
+    "packing.",
+    tags=("datapipe", "text"),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    bpe_ct = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        bpe_ct.alias("bpe_tokens"),
+        F.round(F.length("text").cast("double") / bpe_ct, 6).alias(
+            "chars_per_token"
+        ),
+    )

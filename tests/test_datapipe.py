@@ -235,3 +235,16 @@ def test_ivf_ann_recall(spark):
     # brute-force sim for the same pair when present
     merged = approx.merge(brute, on=["q_id", "vec_id"], suffixes=("_i", "_b"))
     assert (merged.sim_i == merged.sim_b).all()
+
+
+def test_bpe_pretokenizer_branches(spark):
+    """The corpus is plain lowercase words (ws == bpe there), so pin the
+    branches it never exercises: contraction suffixes split off, leading
+    spaces merge into the following run, punctuation runs count once."""
+    from gmall2021_flink_dw_spark.plans.datapipe import _BPE_RE
+    import re
+
+    toks = re.findall(_BPE_RE, "it's 3.14, don't stop!!")
+    assert toks == [
+        "it", "'s", " 3", ".", "14", ",", " don", "'t", " stop", "!!",
+    ]

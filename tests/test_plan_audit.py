@@ -209,3 +209,26 @@ def test_no_row_python_udfs_anywhere(spark, name):
         f"{name}: row-at-a-time Python UDF — use a pandas UDF "
         "(ArrowEvalPython) or mapInPandas instead"
     )
+
+
+@pytest.mark.parametrize(
+    "name,max_hash_exchanges",
+    [
+        # both window functions (lead + row_number) share one (id) sort
+        ("cdc_scd2", 1),
+        # changelog union + two-phase distinct stack on one op shuffle
+        ("cdc_changelog", 1),
+        # exact weekly two-phase + daily-sketch branch: one wk exchange
+        # each; the join of the two 5-row aggregates broadcasts
+        ("dws_uv_sketch_rollup", 2),
+    ],
+)
+def test_exchange_budget(spark, name, max_hash_exchanges):
+    """Single-shuffle claims made in docstrings, held mechanically: the
+    plan may not exceed its documented hash-exchange budget (broadcast
+    exchanges excluded — they ship KBs, not the fact table)."""
+    plan = plan_of(spark, name)
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= max_hash_exchanges, (
+        f"{name}: {n} hash exchanges, budget {max_hash_exchanges}"
+    )

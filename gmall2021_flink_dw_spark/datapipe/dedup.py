@@ -14,9 +14,11 @@ Scale design (the point of each variant):
   distance; candidates via 4x16-bit block index (any exact-match block).
 
 All hashing is xxhash64 (Spark built-in, deterministic across runs and
-partitionings). The LSH/SimHash paths have no SQL oracle (driver records
-rows-only); tests/test_datapipe.py checks recall against the exact
-n-gram-Jaccard pairs instead.
+partitionings). The LSH/SimHash sketches have no direct SQL form, so
+their registered queries (plans/datapipe.py) emit the exact
+counterpart's rows plus pinned recall flags the DuckDB oracle checks;
+tests/test_datapipe.py additionally bounds per-method recall against
+the exact n-gram-Jaccard pairs.
 """
 
 from __future__ import annotations

@@ -5,11 +5,12 @@ streaming query synchronously into a memory sink, and returns the result
 DataFrame — so the driver's batch-style harness can observe Structured
 Streaming behavior (watermark-closed windows, stateful CEP emission).
 
-streaming_visitor_stats has a real oracle: in append mode exactly the
-windows whose end <= final watermark (max event time - delay) are
-emitted, which is SQL-expressible. The CEP stream is rows-only (emission
-set depends on watermark progression; its equivalence to the batch form
-is asserted in tests/test_streaming.py).
+Every query here has a real oracle. Windowed aggregates (tumbling /
+hopping / session) exploit that append mode emits exactly the windows
+the final watermark closed — SQL-expressible. The CEP stream emits the
+batch bounce set plus stream-vs-batch containment/coverage flags the
+oracle pins TRUE; multi-batch equivalence is separately asserted in
+tests/test_streaming.py.
 """
 
 from __future__ import annotations

@@ -143,3 +143,33 @@ class TestSplit:
         clean, dirty = dirty_split(df)
         assert sorted(r.event_id for r in clean.collect()) == [1, 3]
         assert [r.event_id for r in dirty.collect()] == [2]
+
+
+class TestAsofSubsecond:
+    def test_asof_join_subsecond_timestamp_precision(self, spark):
+        """Timestamp-typed as-of inputs must order at MICROSECOND
+        precision (ADVICE r02: cast('long') truncated to seconds,
+        collapsing a version and fact inside the same second). A
+        version 1 us after the fact must NOT be picked; 1 us before
+        must."""
+        import datetime as dt
+
+        from gmall2021_flink_dw_spark.operators.joins import asof_join
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 1, 500_000)
+        facts = spark.createDataFrame(
+            [(1, base)], "k long, ts timestamp"
+        )
+        versions = spark.createDataFrame(
+            [
+                (1, base - dt.timedelta(microseconds=1), "before"),
+                (1, base + dt.timedelta(microseconds=1), "after"),
+            ],
+            "k long, vts timestamp, tag string",
+        )
+        out = asof_join(
+            facts, versions, key="k", fact_ts="ts", version_ts="vts",
+            version_cols=["tag"],
+        ).collect()
+        assert len(out) == 1
+        assert out[0].tag == "before"

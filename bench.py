@@ -97,6 +97,8 @@ HEADLINE = [
     "multimodal_embed",
     "streaming_session_window",
     "streaming_hopping_stats",
+    "multimodal_resize",
+    "text_token_counts",
 ]
 
 

@@ -99,6 +99,7 @@ HEADLINE = [
     "streaming_hopping_stats",
     "multimodal_resize",
     "text_token_counts",
+    "streaming_cdc_upsert",
 ]
 
 

@@ -229,3 +229,92 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to_us",
         F.col("valid_to_us").isNull().alias("is_current"),
     )
+
+
+@register(
+    "streaming_cdc_upsert",
+    oracle=f"""
+    WITH versioned AS (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts_us DESC, op) AS rn
+      FROM ({ORDERS_CHANGELOG_ORACLE})
+    )
+    SELECT id, after_status, cast(after_total as double) AS after_total, ts_us
+    FROM versioned WHERE rn = 1 AND op <> 'delete'
+    """,
+    doc="S3/K4 as a REAL stream: the changelog replayed through "
+    "readStream one file per micro-batch, foreachBatch MERGING each "
+    "batch into a versioned parquet snapshot (read previous version, "
+    "union, ts-based last-writer-wins RETAINING delete tombstones, "
+    "write next version — the parquet emulation of Delta MERGE "
+    "merge-on-read, which is what this becomes on a cluster; "
+    "BaseDBApp.java + DimSinkFunction.java:40-71 semantics). "
+    "Tombstone retention is what makes the result deterministic under "
+    "ANY file-to-batch split: batches arrive in file order, not ts "
+    "order, and a dropped tombstone would let an earlier-ts row in a "
+    "later batch resurrect a deleted key. Tombstones filter at read "
+    "time; the oracle is the batch upsert replay (cdc_dim_snapshot's).",
+    tags=("streaming", "cdc", "upsert", "stateful"),
+)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from gmall2021_flink_dw_spark.sources.cdc import orders_changelog
+
+    cl = orders_changelog(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix=f"cdc_stream_{_uuid.uuid4().hex[:8]}_")
+    topic_dir = os.path.join(base, "topic")
+    snap_base = os.path.join(base, "snap")
+    ckpt = os.path.join(base, "ckpt")
+    # the replayable "topic": several files so the stream really runs
+    # multiple incremental merges
+    cl.repartition(4).write.mode("overwrite").parquet(topic_dir)
+
+    state = {"version": -1}
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        # Last-writer-wins per key, RETAINING delete rows as tombstones:
+        # batches arrive in file order, not ts order, so dropping a
+        # tombstone here would let an earlier-ts row from a later batch
+        # resurrect a deleted key. Tombstones filter out only at read
+        # time — exactly Delta/Hudi merge-on-read semantics.
+        from pyspark.sql import Window as _W
+
+        prev_dir = os.path.join(snap_base, f"v{state['version']}")
+        if state["version"] >= 0:
+            acc = batch_df.sparkSession.read.parquet(prev_dir).unionByName(
+                batch_df
+            )
+        else:
+            acc = batch_df
+        w = _W.partitionBy("id").orderBy(F.col("ts_us").desc(), F.col("op"))
+        nxt = (
+            acc.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        nxt.write.mode("overwrite").parquet(
+            os.path.join(snap_base, f"v{epoch_id}")
+        )
+        state["version"] = epoch_id
+
+    q = (
+        spark.readStream.schema(cl.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(topic_dir)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(
+        os.path.join(snap_base, f"v{state['version']}")
+    ).filter(F.col("op") != "delete")
+    return final.select(
+        "id",
+        "after_status",
+        F.col("after_total").cast("double").alias("after_total"),
+        "ts_us",
+    )

@@ -100,6 +100,7 @@ HEADLINE = [
     "multimodal_resize",
     "text_token_counts",
     "streaming_cdc_upsert",
+    "sample_training_mix",
 ]
 
 

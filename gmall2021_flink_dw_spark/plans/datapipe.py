@@ -1313,3 +1313,49 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+# Target mixture for training-mix sampling, per-mille keep rates per
+# source language: the knob a data-mix recipe turns (e.g. downsample
+# dominant English, keep all Chinese). Deterministic hash gate — no RNG.
+_MIX_RATES = {"en": 400, "de": 800, "es": 600, "fr": 700, "zh": 1000}
+
+_MIX_RATE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items()
+) + " ELSE 0 END"
+
+
+@register(
+    "sample_training_mix",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000)
+               AS gate
+      FROM documents
+    )
+    SELECT doc_id, lang, gate FROM g
+    WHERE gate < ({_MIX_RATE_SQL})
+    """,
+    doc="Weighted training-mix sampling: per-source keep rates (per "
+    "mille) applied through the deterministic hash gate — the standard "
+    "way a data-mix recipe reshapes source proportions (downsample the "
+    "dominant language, keep the scarce one whole) at 100 TB: no RNG "
+    "state, identical keep-set under re-runs/retries/partition moves, "
+    "and rates compose with the hash-bucket folds (same gate space). "
+    "Pure codegen; the filter prunes before any downstream shuffle.",
+    tags=("datapipe", "sampling"),
+)
+def sample_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    rate = F.lit(0)
+    for k, v in _MIX_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return docs.select("doc_id", "lang", gate.alias("gate")).filter(
+        F.col("gate") < rate
+    )

@@ -140,9 +140,9 @@ _DRIVER_WINDOW = (
     # dws_sales_cube yields its slot to multimodal_embed: it is the
     # grouping-set twin of dws_sales_rollup (same aggregate, wider
     # grouping sets), so rollup's fresh row covers the shared path.
-    # r04 rotation TODO: multimodal_resize, text_token_counts and
-    # streaming_cdc_upsert landed after the window filled — front-load
-    # them next round.
+    # r04 rotation TODO: multimodal_resize, text_token_counts,
+    # streaming_cdc_upsert and sample_training_mix landed after the
+    # window filled — front-load them next round.
 )
 
 

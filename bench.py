@@ -101,6 +101,7 @@ HEADLINE = [
     "text_token_counts",
     "streaming_cdc_upsert",
     "sample_training_mix",
+    "corpus_summary",
 ]
 
 

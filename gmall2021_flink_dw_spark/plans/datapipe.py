@@ -1359,3 +1359,83 @@ def sample_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", gate.alias("gate")).filter(
         F.col("gate") < rate
     )
+
+
+@register(
+    "corpus_summary",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, md5(text) AS fp, {TOKENS_SQL} AS w
+      FROM documents
+    ), per_doc AS (
+      SELECT lang, fp, len(w) AS n_tok,
+             CASE WHEN len(w) >= 10
+                   AND len(list_distinct(w))::double / len(w) >= 0.3
+                   AND list_max(list_transform(list_distinct(w),
+                         d -> len(list_filter(w, x -> x = d))))::double
+                       / len(w) <= 0.2
+                  THEN 1 ELSE 0 END AS ok
+      FROM t WHERE len(w) > 0
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT fp) AS uniq_docs,
+           sum(n_tok)::BIGINT AS total_tokens,
+           sum(ok)::BIGINT AS quality_pass_ct,
+           round(sum(n_tok)::double / count(*), 6) AS mean_tokens_per_doc
+    FROM per_doc GROUP BY lang
+    """,
+    doc="Corpus summary report — the closing query of every data-prep "
+    "pipeline: per source language, document count, exact-dedup "
+    "cardinality (distinct content fingerprints, two-phase so no "
+    "Expand), token volume, quality-gate pass count, tokens/doc. All "
+    "aggregates integer-derived with a single double division at the "
+    "edge, so the result is bit-deterministic across engines and "
+    "partitionings (a double SUM would depend on re-association "
+    "order).",
+    tags=("datapipe", "text", "report"),
+)
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    t = F.col("__tokens")
+    n_tok = F.size(t)
+    uniq = F.size(F.array_distinct(t))
+    max_rep = max_token_repetition(t)
+    ok = (
+        (n_tok >= 10)
+        & (uniq.cast("double") / n_tok >= 0.3)
+        & (max_rep.cast("double") / n_tok <= 0.2)
+    ).cast("int")
+    per_doc = docs.filter(n_tok > 0).select(
+        "lang",
+        F.md5("text").alias("fp"),
+        n_tok.alias("n_tok"),
+        ok.alias("ok"),
+    )
+    # two-phase distinct on (lang, fp): no Expand mixing COUNT(DISTINCT)
+    # with the plain sums
+    pre = (
+        per_doc.repartition(F.col("lang"))
+        .groupBy("lang", "fp")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("n_tok").alias("_tok"),
+            F.sum("ok").alias("_ok"),
+        )
+    )
+    agg = pre.groupBy("lang").agg(
+        F.sum("_n").alias("n_docs"),
+        F.count(F.lit(1)).alias("uniq_docs"),
+        F.sum("_tok").alias("total_tokens"),
+        F.sum("_ok").alias("quality_pass_ct"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "uniq_docs",
+        "total_tokens",
+        "quality_pass_ct",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("mean_tokens_per_doc"),
+    )

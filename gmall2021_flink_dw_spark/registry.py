@@ -141,7 +141,7 @@ _DRIVER_WINDOW = (
     # grouping-set twin of dws_sales_rollup (same aggregate, wider
     # grouping sets), so rollup's fresh row covers the shared path.
     # r04 rotation TODO: multimodal_resize, text_token_counts,
-    # streaming_cdc_upsert and sample_training_mix landed after the
+    # streaming_cdc_upsert, sample_training_mix and corpus_summary landed after the
     # window filled — front-load them next round.
 )
 

@@ -1,9 +1,13 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": f}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints the FULL
+per-query JSON on an early stdout line (and writes BENCH_FULL.json),
+then a compact FINAL line {"metric", "value", "unit",
+"queries": slowest-10, "floors", "sf", "n_queries"} — the driver
+captures only a ~2KB stdout tail, so the last line must stay small
+(asserted < 1500 chars; r03's full-map final line overflowed the tail
+and the artifact recorded parsed=null).
 
 Each query is materialized through the noop sink — full execution, no
 driver-side collect (what a cluster run would do writing to object
@@ -163,15 +167,41 @@ def main() -> None:
         floors[name] = round(best, 3)
         spark.catalog.clearCache()
 
-    out = {
+    total = round(sum(times.values()), 3)
+    # The driver records only a ~2KB tail of stdout; r03's single-line
+    # artifact (75 query entries) overflowed it and BENCH_r03.json lost
+    # the headline total (parsed: null). So: the FULL per-query map goes
+    # to BENCH_FULL.json in the repo AND an earlier stdout line, while
+    # the FINAL stdout line stays compact — headline total, floors, and
+    # only the slowest 10 queries — asserted well under the tail size.
+    full = {
         "metric": "headline_queries_total",
-        "value": round(sum(times.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": times,
         "floors": floors,
         "sf": sf,
     }
-    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(json.dumps(full, separators=(",", ":")))
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    final = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "floors": floors,
+        "sf": sf,
+        "n_queries": len(times),
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(final, separators=(",", ":"))
+    assert len(line) < 1500, f"final bench line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

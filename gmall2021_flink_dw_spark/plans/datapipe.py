@@ -1439,3 +1439,131 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens").cast("double") / F.col("n_docs"), 6
         ).alias("mean_tokens_per_doc"),
     )
+
+
+_QUALITY_GATE_SQL = """
+      len(w) >= 10
+        AND len(list_distinct(w))::double / len(w) >= 0.3
+        AND list_max(list_transform(list_distinct(w),
+              d -> len(list_filter(w, x -> x = d))))::double / len(w) <= 0.2
+"""
+
+
+@register(
+    "corpus_train_pipeline",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, text, {TOKENS_SQL} AS w FROM documents
+    ), q AS (
+      SELECT doc_id, source, lang, text, w FROM t
+      WHERE {_QUALITY_GATE_SQL}
+    ), d AS (
+      SELECT doc_id, source, lang, len(w) AS n_tokens,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM q
+    ), m AS (
+      SELECT doc_id, source, n_tokens FROM d
+      WHERE rn = 1
+        AND (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000)
+            < ({_MIX_RATE_SQL})
+    ), c AS (
+      SELECT source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM m
+    ), g AS (
+      SELECT source, cast((cum - n_tokens) // 4096 AS BIGINT) AS seq_id,
+             count(*) AS _n, sum(n_tokens) AS _tok
+      FROM c GROUP BY 1, 2
+    )
+    SELECT source,
+           sum(_n)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_seqs,
+           sum(_tok)::BIGINT AS total_tokens,
+           round(sum(_tok)::double / sum(_n), 6) AS mean_tokens_per_doc,
+           round(sum(_tok)::double / count(*), 6) AS mean_tokens_per_seq
+    FROM g GROUP BY source
+    """,
+    doc="End-to-end composed training-data pipeline in ONE DAG — the "
+    "stages a real data-prep run chains (quality gate -> exact dedup -> "
+    "weighted mix sampling -> 4096-token sequence packing -> per-source "
+    "report) composed over a SINGLE scan of documents, no intermediate "
+    "materialization. The reference's analogue is the ODS->DWD->DWM->DWS "
+    "chain (VisitorStatsApp.java:27-28) which re-reads Kafka between "
+    "layers; Catalyst instead fuses the gate + gate-filter into the scan "
+    "stage and pipelines the two windows back-to-back. Shuffle budget "
+    "at 100 TB: fingerprint window (near-unique keys, no skew), source "
+    "window (shard key), then two bounded aggregations — every stage "
+    "prunes rows BEFORE the next shuffle, the ordering that matters. "
+    "Plan-audited: exactly one parquet scan of documents "
+    "(tests/test_plan_audit.py).",
+    tags=("datapipe", "text", "dedup", "sampling", "pipeline"),
+)
+def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    t = F.col("__tokens")
+    n_tok = F.size(t)
+    uniq = F.size(F.array_distinct(t))
+    max_rep = max_token_repetition(t)
+    # stage 1 — quality gate (same predicate as corpus_clean)
+    quality = docs.filter(
+        (n_tok >= 10)
+        & (uniq.cast("double") / n_tok >= 0.3)
+        & (max_rep.cast("double") / n_tok <= 0.2)
+    )
+    # stage 2 — exact dedup among survivors (min doc_id per fingerprint)
+    w_fp = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        quality.select(
+            "doc_id",
+            "source",
+            "lang",
+            n_tok.cast("bigint").alias("n_tokens"),
+            F.row_number().over(w_fp).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # stage 3 — weighted mix gate (same per-mille hash gate as
+    # sample_training_mix; deterministic, composes with fold buckets)
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    rate = F.lit(0)
+    for k, v in _MIX_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    mixed = deduped.filter(gate < rate)
+    # stage 4 — sequence packing (same binning as pack_sequences)
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = mixed.withColumn("cum", F.sum("n_tokens").over(w_src)).select(
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(4096))
+        .cast("bigint")
+        .alias("seq_id"),
+    )
+    # stage 5 — report (two-phase so the distinct-seq count needs no
+    # Expand: pre-aggregate on the sequence grain, then roll up)
+    pre = packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("n_tokens").alias("_tok"),
+    )
+    return pre.groupBy("source").agg(
+        F.sum("_n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.sum("_tok").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("_tok").cast("double") / F.sum("_n").cast("double"), 6
+        ).alias("mean_tokens_per_doc"),
+        F.round(
+            F.sum("_tok").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_tokens_per_seq"),
+    )

@@ -221,6 +221,9 @@ def test_no_row_python_udfs_anywhere(spark, name):
         # exact weekly two-phase + daily-sketch branch: one wk exchange
         # each; the join of the two 5-row aggregates broadcasts
         ("dws_uv_sketch_rollup", 2),
+        # fingerprint window, source window, (source,seq_id) pre-agg,
+        # source rollup — four stages, each pruning before the next
+        ("corpus_train_pipeline", 4),
     ],
 )
 def test_exchange_budget(spark, name, max_hash_exchanges):
@@ -232,3 +235,15 @@ def test_exchange_budget(spark, name, max_hash_exchanges):
     assert n <= max_hash_exchanges, (
         f"{name}: {n} hash exchanges, budget {max_hash_exchanges}"
     )
+
+
+def test_composed_pipeline_single_scan(spark):
+    """corpus_train_pipeline chains five stages (quality gate, exact
+    dedup, mix sampling, sequence packing, report) in one DAG; the point
+    of composing them is that documents is read ONCE — the reference
+    re-reads Kafka between its ODS->DWD->DWM->DWS layers
+    (VisitorStatsApp.java:27-28), and a naive port would re-scan per
+    stage."""
+    plan = plan_of(spark, "corpus_train_pipeline")
+    n_scans = plan.count("FileScan parquet")
+    assert n_scans == 1, f"expected one documents scan, saw {n_scans}"

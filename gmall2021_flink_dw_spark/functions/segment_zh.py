@@ -11,7 +11,7 @@ this is the always-available fallback, and the golden tests pin ITS
 output so results are stable whether or not jieba is present is a
 per-deployment choice (tests cover both code paths explicitly).
 
-Scale note: the dictionary is a frozen in-process set (a few KB) — it
+Scale note: the dictionary is a frozen in-process set (~100 KB) — it
 ships with the package zip to every executor; segmentation is pure
 per-row CPU inside an Arrow-batched pandas UDF, no shuffle, no state.
 """
@@ -25,7 +25,7 @@ from gmall2021_flink_dw_spark.functions.zh_lexicon import GENERAL_ZH
 # Domain dictionary: e-commerce / search / web-log vocabulary of the
 # reference's domain (gmall is a retail demo: search keywords are phone
 # brands, appliance categories, marketing phrases). The general lexicon
-# (~1.7k high-frequency words, functions/zh_lexicon.py) covers ordinary
+# (~3.2k high-frequency words, functions/zh_lexicon.py) covers ordinary
 # news/social text so out-of-domain sentences segment into words, not
 # characters. Longest-match wins; single characters never need listing
 # (unmatched chars emit as themselves).

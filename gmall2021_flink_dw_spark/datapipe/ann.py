@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gmall2021_flink_dw_spark.cache import tracked_persist
+
 SIGN_BITS = 4  # 16 buckets; multi-probe widens recall
 
 
@@ -169,11 +171,10 @@ def kmeans_centroids(
     training a coarse quantizer at 100 TB (fit on a bounded sample,
     assign the full corpus once). Empty clusters simply drop out
     (fewer, better-used lists)."""
-    sample = (
+    sample = tracked_persist(
         b.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(sample_cap)
         .select("vec_id", "emb", "__vn")
-        .persist()
     )
     cent = sample.limit(n_lists).select(
         F.col("vec_id").alias("__c_id"),

@@ -28,6 +28,8 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gmall2021_flink_dw_spark.cache import tracked_persist
+
 from gmall2021_flink_dw_spark.datapipe.text import shingles, with_tokens
 
 # 31-bit Mersenne prime: keeps a*h + b within long range under Spark's
@@ -93,7 +95,7 @@ def ngram_jaccard_pairs(
     # without this the regexp tokenizer + shingle build runs twice. At
     # 100 TB this is "materialize the inverted index before joining"
     # (a checkpoint to storage); in-memory persist is the local form.
-    e = doc_shingles(docs, n).persist()
+    e = tracked_persist(doc_shingles(docs, n))
     if max_df is not None or max_df_frac is not None:
         df_counts = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         if max_df is not None:
@@ -210,12 +212,11 @@ def minhash_lsh_pairs(
     Spark recomputes unshared DAG branches — without the persist the
     tokenizer runs three times over the corpus. At 100 TB the same
     intermediate is a checkpointed table."""
-    grams = (
+    grams = tracked_persist(
         with_tokens(docs)
         .filter(F.size("__tokens") >= n)
         .select("doc_id", shingles("__tokens", n).alias("grams"))
         .withColumn("n_grams", F.size("grams"))
-        .persist()
     )
     exploded = grams.select(
         "doc_id", "n_grams", F.explode("grams").alias("shingle")
@@ -271,8 +272,8 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
-        .persist()
     )
+    sym = tracked_persist(sym)
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -424,7 +425,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     # the signature table feeds the block index (both self-join sides)
     # AND both verify-join sides — persist or the whole tokenize+hash
     # pipeline runs four times (one per DAG branch).
-    sh = simhash(docs).persist()
+    sh = tracked_persist(simhash(docs))
     blocks = sh.select(
         "doc_id",
         F.explode(

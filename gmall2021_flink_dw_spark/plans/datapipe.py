@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gmall2021_flink_dw_spark.cache import tracked_persist
+
 from gmall2021_flink_dw_spark.datapipe.ann import (
     as_double,
     brute_force_topk,
@@ -239,7 +241,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize once for both the exact side and the LSH side
     # (with_tokens is idempotent; both helpers reuse this column)
-    docs = with_tokens(load_table(spark, sf_dir, "documents")).persist()
+    docs = tracked_persist(with_tokens(load_table(spark, sf_dir, "documents")))
     exact = ngram_jaccard_pairs(
         docs, n=5, threshold=0.5, max_df_frac=0.01, df_floor=5
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -277,7 +279,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     # shared tokenized corpus: the exact-high-Jaccard side shingles it,
     # the simhash side hashes its tokens — one regexp pass, persisted
-    docs = with_tokens(load_table(spark, sf_dir, "documents")).persist()
+    docs = tracked_persist(with_tokens(load_table(spark, sf_dir, "documents")))
     exact_hi = ngram_jaccard_pairs(
         docs, n=5, threshold=0.95, max_df_frac=0.01, df_floor=5
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -989,10 +991,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf feeds three consumers (join probe side, df re-aggregate, corpus
     # count) — persist, or the tokenize+explode+agg runs three times; at
     # 100 TB this intermediate is a checkpointed table.
-    tf = (
+    tf = tracked_persist(
         toks.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = tf.agg(F.count_distinct("doc_id").alias("n"))
@@ -1566,4 +1567,154 @@ def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("_tok").cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("mean_tokens_per_seq"),
+    )
+
+
+# Target mixture SHARES for the rate allocator (sum to 1000 permille):
+# unlike _MIX_RATES (hand-set keep rates), these are the recipe's
+# *desired output proportions*; the allocator derives the keep rates
+# from the measured corpus.
+_MIX_TARGET_PM = {"en": 300, "de": 150, "es": 150, "fr": 150, "zh": 250}
+
+_MIX_TARGET_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGET_PM.items()
+) + " ELSE 0 END"
+
+
+@register(
+    "sample_mix_allocator",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang, sum(len({TOKENS_SQL}))::BIGINT AS lang_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT sum(lang_tokens)::BIGINT AS total_tokens FROM per_lang
+    )
+    SELECT lang, lang_tokens,
+           cast((total_tokens // 2) * ({_MIX_TARGET_SQL}) // 1000
+                AS BIGINT) AS budget_tokens,
+           cast(least(1000, ((total_tokens // 2) * ({_MIX_TARGET_SQL})
+                             // 1000) * 1000 // lang_tokens)
+                AS BIGINT) AS rate_pm,
+           cast(lang_tokens * least(1000, ((total_tokens // 2)
+                 * ({_MIX_TARGET_SQL}) // 1000) * 1000 // lang_tokens)
+                 // 1000 AS BIGINT) AS expected_tokens
+    FROM per_lang, tot
+    """,
+    doc="Training-mix rate ALLOCATOR — the step upstream of "
+    "sample_training_mix: given target output proportions "
+    "(permille shares) and a global token budget (half the corpus), "
+    "derive each language's per-mille keep rate FROM the measured "
+    "corpus: rate = min(1000, budget*share/lang_tokens). A language "
+    "whose pool is smaller than its target allocation caps at 1000 "
+    "(keep everything; expected < budget exposes the deficit the "
+    "recipe must redistribute). All-integer arithmetic end to end, so "
+    "the result is bit-identical across engines and partitionings. One "
+    "shuffle (per-lang aggregation); the budget scalar is a 1-row "
+    "broadcast over the 5-row per-lang table. The derived rates feed "
+    "the same md5 per-mille gate sample_training_mix applies, so the "
+    "pair composes into measure -> solve -> gate without ever "
+    "collecting to the driver.",
+    tags=("datapipe", "sampling", "report"),
+)
+def sample_mix_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size("__tokens")).cast("bigint").alias("lang_tokens")
+    )
+    tot = per_lang.agg(
+        F.sum("lang_tokens").cast("bigint").alias("total_tokens")
+    )
+    share = F.lit(0)
+    for k, v in _MIX_TARGET_PM.items():
+        share = F.when(F.col("lang") == k, F.lit(v)).otherwise(share)
+    # integer floor-division semantics matched to DuckDB's `//`
+    j = per_lang.crossJoin(F.broadcast(tot))
+    budget_col = F.floor(F.floor(F.col("total_tokens") / 2) * share / 1000)
+    rate = F.least(
+        F.lit(1000),
+        F.floor(budget_col * 1000 / F.col("lang_tokens")),
+    )
+    return j.select(
+        "lang",
+        "lang_tokens",
+        budget_col.cast("bigint").alias("budget_tokens"),
+        rate.cast("bigint").alias("rate_pm"),
+        F.floor(F.col("lang_tokens") * rate / 1000)
+        .cast("bigint")
+        .alias("expected_tokens"),
+    )
+
+
+_CHUNK = 5  # tokens per boilerplate chunk (matches the dedup shingle n)
+
+
+@register(
+    "text_boilerplate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_SQL} AS w FROM documents
+      WHERE len({TOKENS_SQL}) >= {_CHUNK}
+    ), chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               w[i*{_CHUNK}+1 : i*{_CHUNK}+{_CHUNK}], ' ')) AS h
+      FROM t, unnest(range(cast(len(w) // {_CHUNK} AS BIGINT))) AS u(i)
+    ), freq AS (
+      SELECT h, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY h
+    )
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+             AS n_shared,
+           round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)::double
+                 / count(*), 6) AS boilerplate_ratio
+    FROM chunks c JOIN freq f USING (h)
+    GROUP BY c.doc_id
+    """,
+    doc="Boilerplate / template detection: non-overlapping 5-token "
+    "chunks hashed and counted across the corpus; a chunk appearing in "
+    ">= 2 distinct documents is shared text (navigation, license "
+    "headers, templated paragraphs — the stuff a training corpus "
+    "should not repeat). Per document: chunk count, shared-chunk "
+    "count, boilerplate ratio. The web-scale recipe (CCNet/RefinedWeb "
+    "style line-dedup) at 100 TB: chunk table shuffles once on the "
+    "hash for the frequency count, the join back is co-partitioned on "
+    "the same key, then one shuffle to the doc grain — no pairwise "
+    "comparison anywhere, cost linear in corpus chunks. Two-phase "
+    "distinct (chunk, doc) pre-aggregation would be needed if chunks "
+    "repeated heavily WITHIN a doc; with 5-token chunks intra-doc "
+    "repeats are rare, so count(DISTINCT doc_id) stays on the chunk "
+    "grain where it is exact.",
+    tags=("datapipe", "text", "dedup", "quality"),
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    t = docs.filter(F.size("__tokens") >= _CHUNK).select("doc_id", "__tokens")
+    n_chunks = F.floor(F.size("__tokens") / _CHUNK).cast("int")
+    chunk_at = lambda i: F.md5(  # noqa: E731
+        F.array_join(F.slice("__tokens", i * _CHUNK + 1, _CHUNK), " ")
+    )
+    chunks = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk_at)
+        ).alias("h"),
+    )
+    # count(DISTINCT doc_id) per hash via two-phase pre-agg: the
+    # (h, doc_id) grain is exact and avoids Expand
+    freq = (
+        chunks.groupBy("h", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    joined = chunks.join(freq, "h")
+    shared = (F.col("n_docs") >= 2).cast("int")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(shared).cast("bigint").alias("n_shared"),
+        F.round(
+            F.sum(shared).cast("double") / F.count(F.lit(1)), 6
+        ).alias("boilerplate_ratio"),
     )

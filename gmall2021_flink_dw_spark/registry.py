@@ -64,7 +64,21 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+
+        def entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Every query entry opens a new cache epoch — reclaims the
+            # previous query's tracked persists (see cache.py); that
+            # result is consumed by the time the next query runs.
+            from gmall2021_flink_dw_spark.cache import open_cache_epoch
+
+            open_cache_epoch()
+            return fn(spark, sf_dir)
+
+        entry.__name__ = fn.__name__
+        entry.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=entry, oracle=oracle, doc=doc, tags=tags
+        )
         return fn
 
     return deco
@@ -95,6 +109,8 @@ _DRIVER_WINDOW = (
     "text_token_counts",
     # (b) new this round
     "corpus_train_pipeline",
+    "sample_mix_allocator",
+    "text_boilerplate",
     # (c) newest driver row r01 then r02, oldest-first
     "dws_sales_cube",
     "text_stats",
@@ -128,11 +144,15 @@ _DRIVER_WINDOW = (
     "streaming_interval_join",
     "streaming_uv_dedup",
     "dws_keyword_stats",
-    "dws_keyword_stats_udf",
+    # dws_keyword_stats_udf + dws_product_stats_approx yield their slots
+    # to the two new r04 queries: each is a same-plan variant of an
+    # in-window primary (Arrow twin of dws_keyword_stats; sketch variant
+    # of dws_product_stats), so the primary's fresh row covers the
+    # shared path and their staleness stays within the asserted 2-round
+    # bound.
     "dws_visitor_stats",
     "dws_product_stats",
     "dws_province_stats",
-    "dws_product_stats_approx",
     "dws_order_quantiles_approx",
     "dws_promo_window_stats",
     "dws_event_measures",

@@ -62,6 +62,7 @@ SCALAR_THRESHOLD_ALLOWED = {
     "tpch_q22_inactive",
     "tfidf_top_terms",  # corpus-size scalar: 1-row broadcast cross join
     "cdc_snapshot_at",  # time-travel cutoff: 1-row broadcast scalar
+    "sample_mix_allocator",  # token-budget scalar over the 5-row lang table
     # driver-checkable sketch queries: the recall/precision flag is a
     # 1-row broadcast aggregate cross-joined onto the exact rows
     "dedup_embedding_lsh",

@@ -106,6 +106,10 @@ HEADLINE = [
     "streaming_cdc_upsert",
     "sample_training_mix",
     "corpus_summary",
+    # added r04:
+    "corpus_train_pipeline",
+    "sample_mix_allocator",
+    "text_boilerplate",
 ]
 
 

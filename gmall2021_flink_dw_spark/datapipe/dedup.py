@@ -122,11 +122,21 @@ def ngram_jaccard_pairs(
     # skewed shingles.
     a = e.alias("a").hint("shuffle_hash")
     b = e.alias("b")
+    # Length filter (PPJoin family, Xiao et al. 2008, public): jaccard
+    # <= min(na,nb)/max(na,nb), so a pair whose size ratio is below the
+    # threshold can NEVER qualify — pruning it inside the join condition
+    # keeps those rows out of the pair-count aggregation entirely
+    # (lossless by the bound above; at threshold 0.95 this drops most of
+    # the candidate fan-out before the shuffle).
+    len_ok = (
+        F.col("a.n_grams") >= F.lit(threshold) * F.col("b.n_grams")
+    ) & (F.col("b.n_grams") >= F.lit(threshold) * F.col("a.n_grams"))
     pairs = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & len_ok,
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

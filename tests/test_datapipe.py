@@ -248,3 +248,44 @@ def test_bpe_pretokenizer_branches(spark):
     assert toks == [
         "it", "'s", " 3", ".", "14", ",", " don", "'t", " stop", "!!",
     ]
+
+
+def test_mix_allocator_invariants(spark):
+    """Budget conservation of sample_mix_allocator, oracle-independent:
+    rates are per-mille caps, a language never receives more than its
+    target allocation, floors only lose tokens, and no language exceeds
+    its own pool."""
+    out = REGISTRY["sample_mix_allocator"].fn(spark, ORACLE_SF).toPandas()
+    assert (out.rate_pm <= 1000).all() and (out.rate_pm >= 0).all()
+    assert (out.expected_tokens <= out.lang_tokens).all()
+    assert (out.expected_tokens <= out.budget_tokens).all()
+    # uncapped languages land within one per-mille step of their budget
+    uncapped = out[out.rate_pm < 1000]
+    assert (
+        uncapped.budget_tokens - uncapped.expected_tokens
+        <= uncapped.lang_tokens // 1000 + 1
+    ).all()
+    # capped languages keep everything they have
+    capped = out[out.rate_pm == 1000]
+    assert (capped.expected_tokens == capped.lang_tokens).all()
+
+
+def test_boilerplate_exact_dup_docs_fully_shared(spark):
+    """Construction invariant of text_boilerplate: two documents with
+    identical text have identical chunk sequences, so every chunk of an
+    exact-duplicate doc is shared (ratio 1.0); and ratios are always in
+    [0, 1] with n_shared <= n_chunks."""
+    import pandas as pd
+
+    out = REGISTRY["text_boilerplate"].fn(spark, ORACLE_SF).toPandas()
+    assert (out.n_shared <= out.n_chunks).all()
+    assert out.boilerplate_ratio.between(0, 1).all()
+    docs = spark.read.parquet(f"{ORACLE_SF}/documents.parquet").selectExpr(
+        "doc_id", "md5(text) AS fp"
+    ).toPandas()
+    dup_fps = docs.groupby("fp").size()
+    dup_ids = docs[docs.fp.isin(dup_fps[dup_fps >= 2].index)].doc_id
+    dup_rows = out[out.doc_id.isin(set(dup_ids))]
+    if len(dup_rows):
+        assert (dup_rows.n_shared == dup_rows.n_chunks).all()
+        assert (dup_rows.boilerplate_ratio == 1.0).all()

@@ -35,6 +35,10 @@ INVARIANT_QUERIES = [
     "cdc_asof_enrich",
     "sample_stratified",
     "tfidf_top_terms",
+    # r04: the 5-stage composed DAG (two windows + two agg phases) and
+    # the cross-doc chunk-frequency join
+    "corpus_train_pipeline",
+    "text_boilerplate",
 ]
 
 

@@ -1594,10 +1594,10 @@ _MIX_TARGET_SQL = "CASE lang " + " ".join(
            cast((total_tokens // 2) * ({_MIX_TARGET_SQL}) // 1000
                 AS BIGINT) AS budget_tokens,
            cast(least(1000, ((total_tokens // 2) * ({_MIX_TARGET_SQL})
-                             // 1000) * 1000 // lang_tokens)
+                             // 1000) * 1000 // nullif(lang_tokens, 0))
                 AS BIGINT) AS rate_pm,
            cast(lang_tokens * least(1000, ((total_tokens // 2)
-                 * ({_MIX_TARGET_SQL}) // 1000) * 1000 // lang_tokens)
+                 * ({_MIX_TARGET_SQL}) // 1000) * 1000 // nullif(lang_tokens, 0))
                  // 1000 AS BIGINT) AS expected_tokens
     FROM per_lang, tot
     """,
@@ -1631,9 +1631,15 @@ def sample_mix_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer floor-division semantics matched to DuckDB's `//`
     j = per_lang.crossJoin(F.broadcast(tot))
     budget_col = F.floor(F.floor(F.col("total_tokens") / 2) * share / 1000)
+    # nullif guard: a language whose every doc tokenizes empty has a
+    # zero pool; both engines' least() ignores the NULL division result,
+    # so the rate caps at 1000 (keep all of nothing, expected = 0)
+    # instead of raising ANSI division-by-zero.
     rate = F.least(
         F.lit(1000),
-        F.floor(budget_col * 1000 / F.col("lang_tokens")),
+        F.floor(
+            budget_col * 1000 / F.nullif(F.col("lang_tokens"), F.lit(0))
+        ),
     )
     return j.select(
         "lang",

@@ -110,6 +110,7 @@ HEADLINE = [
     "corpus_train_pipeline",
     "sample_mix_allocator",
     "text_boilerplate",
+    "streaming_keyword_stats",
 ]
 
 

@@ -447,3 +447,86 @@ def streaming_hopping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = run_to_memory(agg, name, output_mode="append")
         q.stop()
     return spark.table(name)
+
+
+_KW_STT, _KW_EDT = duck_window_bounds("ts", 60)
+_KW_TS_SQL = (
+    "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) SECOND"
+)
+
+
+@register(
+    "streaming_keyword_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT {_KW_TS_SQL} AS ts,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents WHERE lang = 'en'
+    ), agg AS (
+      SELECT {_KW_STT}, {_KW_EDT}, word AS keyword, count(*) AS ct
+      FROM base GROUP BY 1, 2, 3
+    )
+    SELECT stt, edt, keyword, ct FROM agg
+    WHERE edt <= (
+      SELECT strftime(max({_KW_TS_SQL}) - INTERVAL 11 SECOND,
+                      '%Y-%m-%d %H:%M:%S')
+      FROM documents WHERE lang = 'en'
+    )
+    """,
+    doc="A5+D1+P10 as a REAL stream — the reference's KeywordStatsApp "
+    "end-to-end shape (KeywordStatsApp.java:41-75: SQL filter -> "
+    "tokenizer UDTF lateral -> 10s tumbling windowed word counts under "
+    "a 1s watermark): the documents table replays through readStream "
+    "with a deterministic synthetic event time (doc_id seconds past a "
+    "fixed epoch — oracle-reproducible, unlike the reference's "
+    "UNIX_TIMESTAMP() stamp), codegen regexp tokenizer explodes words "
+    "INSIDE the stream, 60s tumbling windows aggregate per word, 11s "
+    "watermark + append mode emit exactly the closed windows; the "
+    "oracle replays the same closure rule in SQL. State is bounded by "
+    "the watermark (closed windows evict); the explode multiplies rows "
+    "before the shuffle exactly as the batch form does, and the same "
+    "two-phase consideration applies at 100 TB (word is the shuffle "
+    "key; hot stopwords are the skew risk, handled by AQE as in "
+    "dws_keyword_stats).",
+    tags=("streaming", "window", "agg", "udtf", "text"),
+)
+def streaming_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.functions.tokenizer import tokenize
+
+    with _stream_state_partitions(spark):
+        docs = (
+            stream_table(spark, sf_dir, "documents")
+            .filter(F.col("lang") == "en")
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.unix_timestamp(
+                        F.lit("2024-01-01 00:00:00"),
+                        "yyyy-MM-dd HH:mm:ss",
+                    )
+                    + F.col("doc_id")
+                ),
+            )
+            .withWatermark("ts", "11 seconds")
+        )
+        words = docs.select(
+            "ts", F.explode(tokenize("text")).alias("keyword")
+        )
+        agg = (
+            words.groupBy(F.window("ts", "60 seconds"), "keyword")
+            .agg(F.count(F.lit(1)).alias("ct"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "stt"
+                ),
+                F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                    "edt"
+                ),
+                "keyword",
+                "ct",
+            )
+        )
+        name = f"skw_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(agg, name, output_mode="append")
+        q.stop()
+    return spark.table(name)

@@ -111,6 +111,7 @@ _DRIVER_WINDOW = (
     "corpus_train_pipeline",
     "sample_mix_allocator",
     "text_boilerplate",
+    "streaming_keyword_stats",
     # (c) newest driver row r01 then r02, oldest-first
     "dws_sales_cube",
     "text_stats",
@@ -135,7 +136,9 @@ _DRIVER_WINDOW = (
     "dedup_survivors_by_quality",
     "cdc_changelog",
     "cdc_route",
-    "cdc_route_projected",
+    # cdc_route_projected yields its slot to streaming_keyword_stats:
+    # it is the projection variant of cdc_route (same route plan + a
+    # column projection), covered by the primary's fresh row.
     "cdc_snapshot_at",
     "cdc_dim_snapshot",
     "streaming_visitor_stats",

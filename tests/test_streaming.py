@@ -540,3 +540,67 @@ def test_session_window_equivalence(spark, events_stream):
         assert (merged.n_events_s == merged.n_events_b).all()
     finally:
         q.stop()
+
+
+def test_streaming_keyword_stats_multibatch(spark):
+    """A5+D1 multi-batch: replay the documents corpus in 5 time-ordered
+    files so the watermark advances BETWEEN micro-batches and windows
+    close incrementally; the union of appended rows must still equal the
+    single-batch closure set (what the registered query's oracle pins).
+    Proves window state survives batch boundaries and late-window
+    eviction emits each window exactly once."""
+    import os
+
+    from pyspark.sql import Window
+    from gmall2021_flink_dw_spark.functions.tokenizer import tokenize
+    from gmall2021_flink_dw_spark.registry import load_all
+
+    reg = load_all()
+    single = reg["streaming_keyword_stats"].fn(spark, SF).toPandas()
+
+    docs = load_table(spark, SF, "documents").filter(F.col("lang") == "en")
+    ts = F.timestamp_seconds(
+        F.unix_timestamp(
+            F.lit("2024-01-01 00:00:00"), "yyyy-MM-dd HH:mm:ss"
+        )
+        + F.col("doc_id")
+    )
+    d = tempfile.mkdtemp(prefix="kw_multi_")
+    try:
+        ntile = F.ntile(5).over(Window.orderBy("doc_id"))
+        parts = docs.withColumn("ts", ts).withColumn("part", ntile)
+        for i in range(1, 6):
+            parts.filter(F.col("part") == i).drop("part").coalesce(
+                1
+            ).write.parquet(os.path.join(d, f"b{i}"))
+        schema = spark.read.parquet(os.path.join(d, "b1")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "b*"))
+            .withWatermark("ts", "11 seconds")
+        )
+        agg = (
+            stream.select("ts", F.explode(tokenize("text")).alias("keyword"))
+            .groupBy(F.window("ts", "60 seconds"), "keyword")
+            .agg(F.count(F.lit(1)).alias("ct"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "stt"
+                ),
+                F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                    "edt"
+                ),
+                "keyword",
+                "ct",
+            )
+        )
+        q = run_to_memory(agg, "kw_multi")
+        try:
+            got = spark.sql("select * from kw_multi").toPandas()
+            assert len(got) == len(single)
+            pd.testing.assert_frame_equal(_canon(got), _canon(single))
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

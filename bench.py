@@ -111,6 +111,7 @@ HEADLINE = [
     "sample_mix_allocator",
     "text_boilerplate",
     "streaming_keyword_stats",
+    "sample_curriculum_rank",
 ]
 
 

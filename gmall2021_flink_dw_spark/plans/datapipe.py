@@ -1724,3 +1724,73 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(shared).cast("double") / F.count(F.lit(1)), 6
         ).alias("boilerplate_ratio"),
     )
+
+
+@register(
+    "sample_curriculum_rank",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             round(len(list_distinct(w))::double / len(w), 6) AS ttr
+      FROM (SELECT doc_id, {TOKENS_SQL} AS w FROM documents)
+      WHERE len(w) > 0
+    )
+    SELECT doc_id, n_tokens, ttr,
+           row_number() OVER (ORDER BY ttr DESC, doc_id) AS rank
+    FROM q
+    """,
+    doc="Global curriculum ranking WITHOUT the single-partition window "
+    "trap: every doc gets its exact global rank by quality (TTR desc, "
+    "doc_id tiebreak) — the ordering a curriculum-learning data loader "
+    "consumes. The naive row_number() OVER (ORDER BY ...) with no "
+    "PARTITION BY collapses the whole corpus into ONE task at 100 TB; "
+    "here the scale-correct decomposition: repartitionByRange on the "
+    "sort key (range exchange, order preserved across ascending "
+    "partition ids), per-partition row_number (local sort only), plus "
+    "a broadcast of per-partition counts cumsum'd into offsets — "
+    "rank = partition offset + local rank. The offsets table is one "
+    "row per partition (KBs), so the only data-sized costs are the "
+    "range exchange and the local sorts; result is identical to the "
+    "naive form (the oracle IS the naive form) and independent of the "
+    "sampled range boundaries.",
+    tags=("datapipe", "sampling", "window-function", "sort"),
+)
+def sample_curriculum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    t = F.col("__tokens")
+    q = docs.filter(F.size(t) > 0).select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(t)).cast("double") / F.size(t), 6
+        ).alias("ttr"),
+    )
+    ranged = q.repartitionByRange(
+        32, F.desc("ttr"), F.asc("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    # per-partition counts -> exclusive prefix-sum offsets (32 rows: the
+    # cumsum window runs on a single tiny partition, then broadcasts)
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.desc("ttr"), F.asc("doc_id")
+    )
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "ttr",
+            (F.col("_off") + F.col("_rn")).cast("bigint").alias("rank"),
+        )
+    )

@@ -112,6 +112,7 @@ _DRIVER_WINDOW = (
     "sample_mix_allocator",
     "text_boilerplate",
     "streaming_keyword_stats",
+    "sample_curriculum_rank",
     # (c) newest driver row r01 then r02, oldest-first
     "dws_sales_cube",
     "text_stats",
@@ -124,7 +125,10 @@ _DRIVER_WINDOW = (
     "text_quality",
     "doc_winnow_fingerprint",
     "multimodal_frame_sample",
-    "sample_hash_bucket",
+    # sample_hash_bucket yields its slot to sample_curriculum_rank: its
+    # md5 per-mille gate is the identical mechanism exercised by the
+    # in-window sample_stratified (grouped form) and sample_training_mix
+    # (weighted form).
     "text_redact",
     "corpus_clean",
     "sample_stratified",

@@ -35,10 +35,12 @@ INVARIANT_QUERIES = [
     "cdc_asof_enrich",
     "sample_stratified",
     "tfidf_top_terms",
-    # r04: the 5-stage composed DAG (two windows + two agg phases) and
-    # the cross-doc chunk-frequency join
+    # r04: the 5-stage composed DAG (two windows + two agg phases), the
+    # cross-doc chunk-frequency join, and the range-partitioned global
+    # rank (whose sampled range boundaries must not leak into ranks)
     "corpus_train_pipeline",
     "text_boilerplate",
+    "sample_curriculum_rank",
 ]
 
 

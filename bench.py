@@ -155,14 +155,14 @@ def main() -> None:
         # eviction/GC pressure instead of the plans.
         spark.catalog.clearCache()
 
-    # Contention evidence carried in the artifact itself: the top-3 most
+    # Contention evidence carried in the artifact itself: the top-5 most
     # expensive queries get a solo re-time (3 back-to-back runs, min) at
     # the very end of the session, when no other headline work is
     # interleaved. A floor far below the pass time says the pass number
     # was co-tenant/driver contention, not the plan (the r02 simhash
     # case: 12s driver pass vs 3.1s uncontended floor, BASELINE.md).
     floors: dict[str, float] = {}
-    for name in sorted(times, key=lambda n: times[n], reverse=True)[:3]:
+    for name in sorted(times, key=lambda n: times[n], reverse=True)[:5]:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

@@ -1696,6 +1696,14 @@ _CHUNK = 5  # tokens per boilerplate chunk (matches the dedup shingle n)
 )
 def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    return boilerplate_stats(docs)
+
+
+def boilerplate_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc boilerplate stats over any tokenized corpus (a `__tokens`
+    column, e.g. from with_tokens) — the registered query binds it to
+    the documents table; tests drive it with synthetic hot corpora
+    (a chunk present in EVERY doc is the worst-case skew key)."""
     t = docs.filter(F.size("__tokens") >= _CHUNK).select("doc_id", "__tokens")
     n_chunks = F.floor(F.size("__tokens") / _CHUNK).cast("int")
     chunk_at = lambda i: F.md5(  # noqa: E731

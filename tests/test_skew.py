@@ -70,3 +70,39 @@ def test_aqe_splits_skewed_join(spark, skew_confs):
     assert "skew=true" in final_plan, (
         "AQE did not mark the join skewed:\n" + final_plan[:2000]
     )
+
+
+def test_boilerplate_hot_chunk_correct_under_skew(spark, skew_confs):
+    """text_boilerplate's shuffle key is the chunk hash, and boilerplate
+    is BY DEFINITION the hot key (a navigation header appears in every
+    doc). Build a corpus where one 5-token chunk is in all 2000 docs
+    (plus one unique chunk each) under the shrunk AQE skew thresholds,
+    and assert exact per-doc ratios: the hot key must change the plan,
+    never the answer."""
+    from pyspark.sql import functions as F
+
+    from gmall2021_flink_dw_spark.plans.datapipe import boilerplate_stats
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared header tokens repeat everywhere "),
+            # unique tail chunk per doc: 5 distinct tokens
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("u"), F.col("id")),
+                F.concat(F.lit("v"), F.col("id")),
+                F.concat(F.lit("w"), F.col("id")),
+                F.concat(F.lit("x"), F.col("id")),
+                F.concat(F.lit("y"), F.col("id")),
+            ),
+        ).alias("text"),
+    )
+    from gmall2021_flink_dw_spark.datapipe.text import with_tokens
+
+    out = boilerplate_stats(with_tokens(docs)).toPandas()
+    assert len(out) == 2000
+    # every doc: 2 chunks, exactly 1 shared (the header), ratio 0.5
+    assert (out.n_chunks == 2).all()
+    assert (out.n_shared == 1).all()
+    assert (out.boilerplate_ratio == 0.5).all()

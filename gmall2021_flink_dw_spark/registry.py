@@ -86,92 +86,86 @@ def register(
 
 # Driver-visibility rotation (VERDICT r02 item 2): the driver's
 # correctness gate records a bounded PREFIX of the order queries()
-# returns (50 entries in r01/r02), so every round this list is rebuilt
-# to front-load (a) queries whose plan changed since their latest
-# CORRECTNESS row, (b) brand-new queries, then (c) the queries whose
-# newest driver row is oldest. Names listed here are surfaced first, in
-# order; everything else follows in registration order.
+# returns (50 entries per round), so every round this list is rebuilt
+# to front-load (a) queries whose newest driver row is oldest, (b)
+# brand-new queries and queries whose plan changed since their latest
+# CORRECTNESS row, then (c) oldest-first among the rest. Names listed
+# here are surfaced first, in order; everything else follows in
+# registration order.
 #
-# r04 window: (a) the five r03 late-landers that have NEVER had a
-# driver row (VERDICT r03 item 1 — streaming_cdc_upsert also has a plan
-# change this round: log-structured merge-on-read), (b) queries new this
-# round, then (c) every query whose newest driver row is r01/r02 —
-# r03 touched shared helpers (datapipe/text.py, functions/tokenizer.py,
-# sources/batch.py) that transitively feed the whole r02 cohort, so all
-# 44 r02 rows plus the one r01 row (dws_sales_cube) are stale. The r03
-# cohort (50 fresh rows) rotates out for one round. Total = 50.
+# _WINDOW_ROUND pins the round this window was built FOR. CATALOG.md and
+# the rotation tests (tests/test_catalog.py) read only driver artifacts
+# from rounds < _WINDOW_ROUND, so the tree stays green by construction
+# when the driver drops CORRECTNESS_r{_WINDOW_ROUND}.json after the last
+# commit (VERDICT r04 item 1: the handover state must be green; the
+# forcing function moves to the start-of-round bump, asserted by
+# test_window_round_is_bumped).
+_WINDOW_ROUND = 5
+
+# r05 window: (a) the five r02-stale queries the r04 staleness test
+# named (each yielded its r04 slot to a same-plan primary and is now at
+# the 2-round bound), (b) dedup/ann r03 cohort whose shared helpers
+# (datapipe/dedup.py, datapipe/ann.py) r04 touched, then (c) the rest of
+# the r03 cohort oldest-registration-first. Deferred to r06 (staleness
+# exactly 2, within bound): tpch_q13_custdist, tpch_q17_smallqty,
+# tpch_q21_waiting, tpch_q22_inactive, tpch_q20_excess — self-contained
+# SQL plans in tpch_full.py, untouched since r03, bit-exact-checked
+# locally by test_oracle_parity every session. The r04 cohort (50 fresh
+# rows) rotates out for one round. Total = 50.
 _DRIVER_WINDOW = (
-    # (a) never driver-checked (and streaming_cdc_upsert replanned r04)
-    "streaming_cdc_upsert",
-    "sample_training_mix",
-    "corpus_summary",
-    "multimodal_resize",
-    "text_token_counts",
-    # (b) new this round
-    "corpus_train_pipeline",
-    "sample_mix_allocator",
-    "text_boilerplate",
-    "streaming_keyword_stats",
-    "sample_curriculum_rank",
-    # (c) newest driver row r01 then r02, oldest-first
-    "dws_sales_cube",
-    "text_stats",
-    "lang_id",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "ann_topk",
-    "multimodal_decode",
-    "dedup_embedding_cosine",
-    "text_quality",
-    "doc_winnow_fingerprint",
-    "multimodal_frame_sample",
-    # sample_hash_bucket yields its slot to sample_curriculum_rank: its
-    # md5 per-mille gate is the identical mechanism exercised by the
-    # in-window sample_stratified (grouped form) and sample_training_mix
-    # (weighted form).
-    "text_redact",
-    "corpus_clean",
-    "sample_stratified",
-    "vocab_top_tokens",
-    "dedup_clusters",
-    "corpus_contamination",
-    "tfidf_top_terms",
-    "pack_sequences",
-    "dedup_survivors_by_quality",
-    "cdc_changelog",
-    "cdc_route",
-    # cdc_route_projected yields its slot to streaming_keyword_stats:
-    # it is the projection variant of cdc_route (same route plan + a
-    # column projection), covered by the primary's fresh row.
-    "cdc_snapshot_at",
-    "cdc_dim_snapshot",
-    "streaming_visitor_stats",
-    "streaming_exact_distinct",
-    "streaming_new_user_flag",
-    "streaming_interval_join",
-    "streaming_uv_dedup",
-    "dws_keyword_stats",
-    # dws_keyword_stats_udf + dws_product_stats_approx yield their slots
-    # to the two new r04 queries: each is a same-plan variant of an
-    # in-window primary (Arrow twin of dws_keyword_stats; sketch variant
-    # of dws_product_stats), so the primary's fresh row covers the
-    # shared path and their staleness stays within the asserted 2-round
-    # bound.
-    "dws_visitor_stats",
-    "dws_product_stats",
-    "dws_province_stats",
-    "dws_order_quantiles_approx",
-    "dws_promo_window_stats",
-    "dws_event_measures",
-    "dwd_clean_events",
-    "dwd_event_split_counts",
-    "dwm_unique_visit",
-    "dwd_new_user_flag",
-    # dws_visitor_stats_compat yields its slot to corpus_train_pipeline:
-    # it is the pv-quirk twin of dws_visitor_stats (same plan, one
-    # projection differs), so the primary's fresh row covers the shared
-    # path; its staleness stays within the 2-round bound asserted by
-    # tests/test_catalog.py.
+    # (a) r02-stale, at the staleness bound
+    "sample_hash_bucket",
+    "cdc_route_projected",
+    "dws_keyword_stats_udf",
+    "dws_product_stats_approx",
+    "dws_visitor_stats_compat",
+    # (b) r03 rows whose helpers r04 touched (dedup/ann)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bucketed",
+    "ann_ivf",
+    "dedup_embedding_lsh",
+    # (c) remaining r03 cohort, registration order
+    "multimodal_embed",
+    "cdc_scd2",
+    "streaming_jump_detect",
+    "streaming_session_window",
+    "streaming_hopping_stats",
+    "dws_keyword_stats_zh",
+    "dwm_user_jump",
+    "dwm_session_stats",
+    "dwm_order_wide",
+    "dwm_order_wide_missdrop",
+    "dwm_payment_wide",
+    "ads_gmv_by_day",
+    "ads_top_brands",
+    "ads_top_types",
+    "ads_top_parts",
+    "cdc_asof_enrich",
+    "dws_session_window",
+    "dws_salted_agg",
+    "tpch_q10_returns",
+    "tpch_q15_topsupplier",
+    "tpch_q7_volume",
+    "dws_hopping_stats",
+    "dws_uv_sketch_rollup",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q4_semi",
+    "tpch_q16_anti",
+    "tpch_q12_caseagg",
+    "tpch_q14_promo",
+    "tpch_q18_bigorders",
+    "tpch_q19_disjunct",
+    "ads_top_parts_per_brand",
+    "dws_sales_rollup",
+    "ads_order_quantiles",
+    "tpch_q2_mincost",
+    "tpch_q8_marketshare",
+    "tpch_q9_profit",
+    "tpch_q11_importance",
 )
 
 

@@ -7,11 +7,25 @@ an asserted invariant: projecting the upcoming round's _DRIVER_WINDOW
 onto the CORRECTNESS history, no registered query may be more than 2
 rounds stale, and nothing outside the window may be stale enough to
 have been forgotten.
+
+Round-boundary lifecycle (VERDICT r04 item 1): the driver writes
+CORRECTNESS_r{N}.json AFTER the builder's last r{N} commit, so tests
+that read all artifacts on disk necessarily fail in the handover state.
+Fix: registry._WINDOW_ROUND pins the round the committed window targets,
+and these tests (plus CATALOG.md generation) count only artifacts from
+rounds < _WINDOW_ROUND — the artifact for the window's own round is the
+NEXT round's input. The forcing function moves to the start-of-round
+bump: test_window_round_is_bumped goes red only if a round starts
+without rebuilding the window.
 """
 
 from __future__ import annotations
 
-from gmall2021_flink_dw_spark.registry import _DRIVER_WINDOW, load_all
+import glob
+import os
+import re
+
+from gmall2021_flink_dw_spark.registry import _DRIVER_WINDOW, _WINDOW_ROUND, load_all
 
 MAX_STALENESS = 2  # rounds a query may go without a fresh driver row
 
@@ -33,18 +47,37 @@ def test_window_is_driver_prefix_sized():
     assert len(set(_DRIVER_WINDOW)) == 50, "duplicate window entries"
 
 
+def test_window_round_is_bumped():
+    """_WINDOW_ROUND must be at least (newest artifact round): an
+    artifact from a round NEWER than the committed window means a round
+    started without rebuilding _DRIVER_WINDOW — bump _WINDOW_ROUND in
+    registry.py, rebuild the window, and regenerate CATALOG.md as the
+    round's first commit. An artifact whose round == _WINDOW_ROUND is
+    the expected end-of-round driver drop and stays green."""
+    newest = 0
+    for path in glob.glob(os.path.join(os.getcwd(), "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m:
+            newest = max(newest, int(m.group(1)))
+    assert _WINDOW_ROUND >= newest, (
+        f"CORRECTNESS_r{newest:02d}.json is newer than the committed "
+        f"window (round {_WINDOW_ROUND}) — rebuild _DRIVER_WINDOW for "
+        f"round {newest + 1} and run: python tools/gen_catalog.py"
+    )
+
+
 def test_no_query_exceeds_staleness_bound():
     """With the upcoming round's window applied, every query's driver
     row is at most MAX_STALENESS rounds old. Queries in the window are
-    projected to get a row in round latest+1; everything else keeps its
-    newest recorded row. A failure here means the window rebuild
-    neglected a query — fix _DRIVER_WINDOW, not this test."""
+    projected to get a row in round _WINDOW_ROUND; everything else keeps
+    its newest recorded row from rounds < _WINDOW_ROUND. A failure here
+    means the window rebuild neglected a query — fix _DRIVER_WINDOW,
+    not this test."""
     import tools.gen_catalog as g
 
     reg = load_all()
-    rounds = g.driver_rounds()
-    latest = max(rounds.values(), default=0)
-    upcoming = latest + 1
+    rounds = g.driver_rounds()  # counts rounds < _WINDOW_ROUND only
+    upcoming = _WINDOW_ROUND
     window = set(_DRIVER_WINDOW)
     stale = {}
     for name in reg:

@@ -129,7 +129,8 @@ def main() -> None:
     # A renamed/typo'd headline entry must fail loudly, not silently
     # shrink the benchmark (which would read as a speedup).
     unknown = [n for n in HEADLINE if n not in registry]
-    assert not unknown, f"HEADLINE names missing from registry: {unknown}"
+    if unknown:  # not assert: must survive python -O (ADVICE r04)
+        raise RuntimeError(f"HEADLINE names missing from registry: {unknown}")
 
     # Three full passes, per-query min across passes: the first execution
     # of each generated-code class pays multi-second JIT compilation
@@ -206,7 +207,8 @@ def main() -> None:
         "full": "BENCH_FULL.json",
     }
     line = json.dumps(final, separators=(",", ":"))
-    assert len(line) < 1500, f"final bench line too long ({len(line)} chars)"
+    if len(line) >= 1500:  # not assert: must survive python -O (ADVICE r04)
+        raise RuntimeError(f"final bench line too long ({len(line)} chars)")
     print(line)
 
 

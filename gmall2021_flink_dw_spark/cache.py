@@ -21,17 +21,35 @@ background; executors never stall on reclamation.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_CURRENT_EPOCH: list[DataFrame] = []
+# Epochs are keyed by driver thread (ADVICE r04): Spark supports
+# concurrent jobs from multiple driver threads, and a single global list
+# would let a query running on thread B unpersist thread A's in-flight
+# intermediates (correct results — unpersist only forces recompute — but
+# the persist optimization silently disappears). Per-thread epochs make
+# concurrent drivers independent; the serial consume-before-next-call
+# contract still applies WITHIN a thread. Re-entrancy (a registered
+# query invoking another registered entry mid-build) remains unsupported
+# by design: the inner entry would reclaim the outer's persists.
+_EPOCHS: dict[int, list[DataFrame]] = {}
+_LOCK = threading.Lock()
+
+
+def _epoch() -> list[DataFrame]:
+    with _LOCK:
+        return _EPOCHS.setdefault(threading.get_ident(), [])
 
 
 def open_cache_epoch() -> None:
-    """Reclaim the previous query invocation's tracked persists. Called
-    by the registry wrapper on every query entry; safe to call at any
-    query boundary."""
-    while _CURRENT_EPOCH:
-        df = _CURRENT_EPOCH.pop()
+    """Reclaim this thread's previous query invocation's tracked
+    persists. Called by the registry wrapper on every query entry; safe
+    to call at any query boundary."""
+    epoch = _epoch()
+    while epoch:
+        df = epoch.pop()
         try:
             df.unpersist(blocking=False)
         except Exception:
@@ -39,6 +57,6 @@ def open_cache_epoch() -> None:
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
-    """persist() whose lifetime is the current query epoch."""
-    _CURRENT_EPOCH.append(df.persist())
+    """persist() whose lifetime is the current thread's query epoch."""
+    _epoch().append(df.persist())
     return df

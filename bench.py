@@ -112,6 +112,8 @@ HEADLINE = [
     "text_boilerplate",
     "streaming_keyword_stats",
     "sample_curriculum_rank",
+    # added r05:
+    "kafka_wire_events",
 ]
 
 
@@ -156,14 +158,33 @@ def main() -> None:
         # eviction/GC pressure instead of the plans.
         spark.catalog.clearCache()
 
-    # Contention evidence carried in the artifact itself: the top-5 most
-    # expensive queries get a solo re-time (3 back-to-back runs, min) at
-    # the very end of the session, when no other headline work is
-    # interleaved. A floor far below the pass time says the pass number
-    # was co-tenant/driver contention, not the plan (the r02 simhash
-    # case: 12s driver pass vs 3.1s uncontended floor, BASELINE.md).
+    # Contention evidence carried in the artifact itself: solo re-times
+    # (3 back-to-back runs, min) at the very end of the session, when no
+    # other headline work is interleaved. A floor far below the pass
+    # time says the pass number was co-tenant/driver contention, not the
+    # plan (the r02 simhash case: 12s driver pass vs 3.1s uncontended
+    # floor, BASELINE.md). Floor selection (VERDICT r04 item 7,
+    # self-certifying): the top-5 most expensive queries PLUS any query
+    # whose pass time exceeds 2x its committed BENCH_FULL.json min from
+    # the previous run (read before this run overwrites it), capped at
+    # 10 — so a contended driver re-run carries its own exoneration for
+    # every inflated entry, not just the most expensive five.
+    prior_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    prior_mins: dict[str, float] = {}
+    try:
+        with open(prior_path) as f:
+            prior_mins = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        pass  # first run / artifact missing: top-5 rule alone applies
+    by_cost = sorted(times, key=lambda n: times[n], reverse=True)
+    floor_set = set(by_cost[:5]) | {
+        n for n in times if times[n] > 2 * prior_mins.get(n, float("inf"))
+    }
+    floor_names = sorted(floor_set, key=lambda n: times[n], reverse=True)[:10]
     floors: dict[str, float] = {}
-    for name in sorted(times, key=lambda n: times[n], reverse=True)[:5]:
+    for name in floor_names:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

@@ -16,7 +16,11 @@ from gmall2021_flink_dw_spark.operators.dedup import (
     correct_new_user_flag,
     first_visit_per_day,
 )
-from gmall2021_flink_dw_spark.operators.split import parse_props, split_by_type
+from gmall2021_flink_dw_spark.operators.split import (
+    PROPS_SCHEMA,
+    parse_props,
+    split_by_type,
+)
 from gmall2021_flink_dw_spark.registry import register
 from gmall2021_flink_dw_spark.sources.batch import load_table
 
@@ -53,6 +57,117 @@ def dwd_clean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         "props_k",
         F.col("value").cast("decimal(18,2)").cast("double").alias("value"),
+    )
+
+
+@register(
+    "kafka_wire_events",
+    oracle="""
+    WITH wire AS (
+      SELECT *, cast(user_id % 8 AS int) AS kafka_partition FROM events
+    ), off AS (
+      SELECT *, row_number() OVER (PARTITION BY kafka_partition
+                                   ORDER BY event_id) - 1 AS kafka_offset
+      FROM wire
+    )
+    SELECT event_id, user_id, event_type,
+           epoch_us(ts) AS ts_us,
+           cast(json_extract_string(props, '$.k') as bigint) AS props_k,
+           cast(cast(value as decimal(18,2)) as double) AS value,
+           kafka_partition, kafka_offset
+    FROM off
+    WHERE event_type <> 'error'
+      AND json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    doc="S1/K1 wire-format twin (MyKafkaUtil.java:23-53), offline-"
+    "closable: events are SERIALIZED into frames with the exact Kafka "
+    "source schema (binary key/value, topic, partition, offset, "
+    "timestamp, timestampType — streaming/sources.py::KAFKA_WIRE_SCHEMA) "
+    "— JSON payload in value, keyed by user, murmur-free deterministic "
+    "partitioner (user_id % 8) so the oracle can reproduce it — then "
+    "CONSUMED through the same decode projection kafka_stream uses "
+    "(decode_kafka_records: plan-identical by construction) + from_json "
+    "with pinned schema + the dwd_clean_events P1 dirty-split. The "
+    "oracle recomputes the clean projection from the raw table, so a "
+    "green row proves the serialize->decode->parse round trip is "
+    "lossless including broker metadata (partition, per-partition "
+    "monotonic offset). Offset synthesis uses a per-partition window — "
+    "that is the PRODUCER-side test fixture standing in for the broker "
+    "(which assigns offsets for free); the consume plan itself is "
+    "shuffle-free until the DWD filters.",
+    tags=("kafka", "source", "wire-format", "dwd"),
+)
+def kafka_wire_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from gmall2021_flink_dw_spark.streaming.sources import (
+        KAFKA_WIRE_SCHEMA,
+        decode_kafka_records,
+    )
+
+    ev = _events(spark, sf_dir)
+    # --- producer side: build frames with the exact Kafka source schema
+    payload = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.col("value"),
+            F.col("props"),
+        )
+    )
+    part = F.pmod(F.col("user_id"), F.lit(8)).cast("int")
+    offset_w = Window.partitionBy(part).orderBy("event_id")
+    wire = ev.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        payload.cast("binary").alias("value"),
+        F.lit("ods_base_log").alias("topic"),
+        part.alias("partition"),
+        (F.row_number().over(offset_w) - F.lit(1)).cast("long").alias("offset"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    # hard parity guard (names + types; literal columns are narrower on
+    # nullability than the broker's, which is fine)
+    got = [(f.name, f.dataType) for f in wire.schema.fields]
+    want = [(f.name, f.dataType) for f in KAFKA_WIRE_SCHEMA.fields]
+    if got != want:
+        raise ValueError(f"wire schema drift: {wire.schema}")
+    # --- consume side: identical projection to kafka_stream, then the
+    # pinned-schema from_json (S2) and the P1 clean split
+    event_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    decoded = decode_kafka_records(wire)
+    parsed = decoded.select(
+        F.from_json(F.col("value"), event_schema).alias("j"),
+        "kafka_partition",
+        "kafka_offset",
+    ).select("j.*", "kafka_partition", "kafka_offset")
+    clean = parsed.withColumn(
+        "props_k",
+        F.from_json(F.col("props"), PROPS_SCHEMA).getField("k"),
+    ).filter(
+        (F.col("event_type") != "error") & F.col("props_k").isNotNull()
+    )
+    return clean.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        "props_k",
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value"),
+        "kafka_partition",
+        "kafka_offset",
     )
 
 

@@ -106,9 +106,11 @@ _WINDOW_ROUND = 5
 # named (each yielded its r04 slot to a same-plan primary and is now at
 # the 2-round bound), (b) dedup/ann r03 cohort whose shared helpers
 # (datapipe/dedup.py, datapipe/ann.py) r04 touched, then (c) the rest of
-# the r03 cohort oldest-registration-first. Deferred to r06 (staleness
+# the r03 cohort oldest-registration-first, with kafka_wire_events (new
+# this round) slotted after the stale five. Deferred to r06 (staleness
 # exactly 2, within bound): tpch_q13_custdist, tpch_q17_smallqty,
-# tpch_q21_waiting, tpch_q22_inactive, tpch_q20_excess — self-contained
+# tpch_q21_waiting, tpch_q22_inactive, tpch_q20_excess,
+# tpch_q19_disjunct — self-contained
 # SQL plans in tpch_full.py, untouched since r03, bit-exact-checked
 # locally by test_oracle_parity every session. The r04 cohort (50 fresh
 # rows) rotates out for one round. Total = 50.
@@ -119,7 +121,9 @@ _DRIVER_WINDOW = (
     "dws_keyword_stats_udf",
     "dws_product_stats_approx",
     "dws_visitor_stats_compat",
-    # (b) r03 rows whose helpers r04 touched (dedup/ann)
+    # (b) new this round
+    "kafka_wire_events",
+    # (c) r03 rows whose helpers r04 touched (dedup/ann)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_bucketed",
@@ -158,7 +162,6 @@ _DRIVER_WINDOW = (
     "tpch_q12_caseagg",
     "tpch_q14_promo",
     "tpch_q18_bigorders",
-    "tpch_q19_disjunct",
     "ads_top_parts_per_brand",
     "dws_sales_rollup",
     "ads_order_quantiles",

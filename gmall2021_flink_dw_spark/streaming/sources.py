@@ -80,15 +80,45 @@ def socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
     )
 
 
+# The EXACT record schema Spark's Kafka source produces (field names,
+# types, and order) — the wire-format twin (plans/log_pipeline.py::
+# kafka_wire_events) synthesizes frames with this schema so the consume
+# plan downstream of a real broker is exercised bit-for-bit without one.
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("timestampType", T.IntegerType(), True),
+    ]
+)
+
+
+def decode_kafka_records(records: DataFrame) -> DataFrame:
+    """Consume-side projection over Kafka-source-schema records
+    (MyKafkaUtil.java:40-53's SimpleStringSchema step): value bytes ->
+    string; broker metadata carried through for offset bookkeeping.
+    Shared by kafka_stream (real broker) and kafka_wire_events (file
+    twin) so the two plans are identical by construction."""
+    return records.selectExpr(
+        "CAST(value AS STRING) AS value",
+        "timestamp AS kafka_ts",
+        "partition AS kafka_partition",
+        "offset AS kafka_offset",
+    )
+
+
 def kafka_stream(spark: SparkSession, topic: str, brokers: str) -> DataFrame:
     """S1/S2 production source (no broker in the test image — used on a
     real cluster): value bytes -> string, schema applied by the caller
     via from_json, startingOffsets=latest like MyKafkaUtil.java:46-53."""
-    return (
+    return decode_kafka_records(
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topic)
         .option("startingOffsets", "latest")
         .load()
-        .selectExpr("CAST(value AS STRING) AS value", "timestamp AS kafka_ts")
     )

@@ -175,7 +175,12 @@ def main() -> None:
     prior_mins: dict[str, float] = {}
     try:
         with open(prior_path) as f:
-            prior_mins = json.load(f).get("queries", {})
+            prior = json.load(f)
+        # only comparable at the same scale factor: a dev run at
+        # sf0.01 must not poison floor selection for the sf0.1 run
+        # (and vice versa)
+        if prior.get("sf") == sf:
+            prior_mins = prior.get("queries", {})
     except (OSError, ValueError):
         pass  # first run / artifact missing: top-5 rule alone applies
     by_cost = sorted(times, key=lambda n: times[n], reverse=True)
@@ -210,8 +215,12 @@ def main() -> None:
         "floors": floors,
         "sf": sf,
     }
+    # dev runs at other scale factors must not clobber the committed
+    # sf0.1 artifact (its per-query mins are the round-over-round and
+    # floor-rule baseline)
+    full_name = "BENCH_FULL.json" if sf == 0.1 else f"BENCH_FULL_sf{sf}.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as f:
+                           full_name), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     print(json.dumps(full, separators=(",", ":")))
     slowest = dict(
@@ -225,7 +234,7 @@ def main() -> None:
         "floors": floors,
         "sf": sf,
         "n_queries": len(times),
-        "full": "BENCH_FULL.json",
+        "full": full_name,
     }
     line = json.dumps(final, separators=(",", ":"))
     if len(line) >= 1500:  # not assert: must survive python -O (ADVICE r04)

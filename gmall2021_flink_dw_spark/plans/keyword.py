@@ -121,8 +121,8 @@ _ZH_CORPUS = (
 _ZH_EXPECTED = (
     ("11", 1), ("iphone15", 1), ("了", 1), ("五", 1), ("人工智能", 1),
     ("今天", 1), ("他", 1), ("他们", 1), ("们", 1), ("价格", 1),
-    ("优惠", 1), ("位", 1), ("便宜", 1), ("准备", 1), ("分析", 1),
-    ("创新", 1), ("包邮", 2), ("华为", 1), ("去年", 1), ("双", 1),
+    ("优惠", 1), ("便宜", 1), ("准备", 1), ("分析", 1), ("创新", 1),
+    ("包邮", 2), ("华为", 1), ("去年", 1), ("双", 1),
     ("吃饭", 1), ("在", 2), ("复习", 1), ("大", 1), ("大数据", 1),
     ("学生", 1), ("实时", 1), ("宣布", 1), ("小米", 1), ("很好", 1),
     ("我", 1), ("我们", 1), ("手机", 1), ("技术", 1), ("折", 1),
@@ -132,7 +132,9 @@ _ZH_EXPECTED = (
     ("电脑", 1), ("的", 4), ("科学家", 1), ("科技", 1), ("秒杀", 1),
     ("笔记本", 1), ("经济", 1), ("给", 1), ("考试", 1), ("聊天", 1),
     ("著名", 1), ("行为", 1), ("认真", 1), ("记者", 1), ("质量", 1),
-    ("这", 1), ("采访", 1), ("项目", 1), ("餐厅", 1),
+    ("这位", 1), ("采访", 1), ("项目", 1), ("餐厅", 1),
+    # r05: 这+位 -> 这位 (demonstrative+classifier fusion added to the
+    # general lexicon; reviewed — jieba segments it the same way)
 )
 
 _ZH_VALUES = ",\n      ".join(f"('{w}', {n})" for w, n in _ZH_EXPECTED)

@@ -142,8 +142,8 @@ def test_fmm_out_of_domain_golden():
         "政府", "宣布", "新", "的", "经济", "政策", "支持", "科技", "创新",
     ]
     assert fmm_segment("记者采访了这位著名科学家") == [
-        "记者", "采访", "了", "这", "位", "著名", "科学家",
-    ]
+        "记者", "采访", "了", "这位", "著名", "科学家",
+    ]  # 这位 fused since the r05 demonstrative+classifier expansion
     assert fmm_segment("人工智能技术正在改变我们的生活") == [
         "人工智能", "技术", "正在", "改变", "我们", "的", "生活",
     ]
@@ -154,8 +154,12 @@ def test_fmm_single_char_fallback_rate():
     Measured on held-out OUT-OF-DOMAIN sentences (science, health,
     sports, literature, weather, finance — none of the e-commerce
     domain the dict targets): the single-character fallback rate must
-    stay under 0.45. History: 0.711 with the r03 1.8k-word dict, 0.335
-    after the r04 expansion to ~3.2k words. The floor is NOT zero —
+    stay under 0.25. History: 0.711 with the r03 1.8k-word dict, 0.335
+    after the r04 expansion to ~3.2k words, 0.241 after the r05
+    expansion to ~3.8k (V+directional compounds, 有-compounds,
+    demonstrative+classifier fusions, broader domain bands); the
+    remaining singles are almost entirely 的/了/在/和-class function
+    words. The floor is NOT zero —
     function words (的/了/在/和/都...) correctly emit single, which is
     ~0.25 of tokens in ordinary prose; a rate near 0.25 means content
     words are segmenting as words."""
@@ -189,7 +193,7 @@ def test_fmm_single_char_fallback_rate():
             tot += len(toks)
             single += sum(1 for t in toks if len(t) == 1)
     rate = single / tot
-    assert rate < 0.45, f"single-char fallback rate {rate:.3f} (n={tot})"
+    assert rate < 0.25, f"single-char fallback rate {rate:.3f} (n={tot})"
 
 
 def test_fmm_multiword_ratio_news():

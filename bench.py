@@ -114,6 +114,8 @@ HEADLINE = [
     "sample_curriculum_rank",
     # added r05:
     "kafka_wire_events",
+    "text_repetition",
+    "streaming_dedup_ingest",
 ]
 
 

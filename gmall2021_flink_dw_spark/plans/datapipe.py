@@ -1802,3 +1802,158 @@ def sample_curriculum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_off") + F.col("_rn")).cast("bigint").alias("rank"),
         )
     )
+
+
+_NGRAM = 3  # Gopher-style duplicate-n-gram rule size
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_SQL} AS w FROM documents
+      WHERE len({TOKENS_SQL}) >= {_NGRAM}
+    ), grams AS (
+      SELECT doc_id,
+             array_to_string(w[i+1 : i+{_NGRAM}], ' ') AS g
+      FROM t, unnest(range(cast(len(w) - {_NGRAM} + 1 AS BIGINT))) AS u(i)
+    ), per_gram AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_ngrams,
+           sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS n_dup,
+           round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::double
+                 / sum(c), 6) AS dup_ratio,
+           (sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::double
+                 / sum(c)) <= 0.2 AS passes
+    FROM per_gram GROUP BY doc_id
+    """,
+    doc="Gopher/RefinedWeb-style intra-document repetition rule: the "
+    "fraction of sliding 3-gram occurrences whose 3-gram repeats "
+    "within the SAME document (loops, stutter, boilerplate padding — "
+    "the classic LM-collapse inputs), pass gate <= 0.2 (Gopher's "
+    "duplicate-n-gram family, Rae et al. 2021 table A1 — the exact "
+    "thresholds there are per-n; 0.2 is this corpus's documented "
+    "parameter). 100 TB shape: explode n-grams (linear, no shuffle), "
+    "pre-aggregate on (doc_id, gram) — the skew-proof grain: a hot "
+    "gram spreads over its docs — then one reduce to the doc grain. "
+    "No pairwise work, no window over the corpus; cost is two "
+    "shuffles both keyed by doc_id-prefixed keys. Pure-integer ratio "
+    "divided once in double so both engines round identically.",
+    tags=("datapipe", "text", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    t = F.col("__tokens")
+    grams = (
+        docs.filter(F.size(t) >= _NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - _NGRAM + 1),
+                    lambda i: F.array_join(F.slice(t, i, _NGRAM), " "),
+                )
+            ).alias("g"),
+        )
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    dup_c = F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_ngrams"),
+        F.sum(dup_c).cast("bigint").alias("n_dup"),
+    )
+    ratio = F.col("n_dup").cast("double") / F.col("n_ngrams")
+    return agg.select(
+        "doc_id",
+        "n_ngrams",
+        "n_dup",
+        F.round(ratio, 6).alias("dup_ratio"),
+        (ratio <= 0.2).alias("passes"),
+    )
+
+
+# temp trees from prior streaming_dedup_ingest invocations, reclaimed on
+# the next invocation (results consumed between calls, same contract as
+# plans/cdc_routing.py) and at exit
+_DEDUP_STREAM_DIRS: list[str] = []
+
+
+@register(
+    "streaming_dedup_ingest",
+    oracle="""
+    SELECT md5(text) AS fp,
+           min(doc_id) AS survivor_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Streaming corpus ingest with ONLINE exact dedup — the shape a "
+    "continuously-fed training-data pipeline needs (documents arrive "
+    "as a stream; the dedup decision cannot wait for a batch horizon): "
+    "the corpus replays as a real file stream in 4 micro-batches; each "
+    "trigger writes an O(batch) delta of per-fingerprint (min doc_id, "
+    "count) — the same log-structured merge-on-read pattern as "
+    "streaming_cdc_upsert, so per-trigger cost scales with the batch, "
+    "never the accumulated corpus — and read-time compaction merges "
+    "deltas by fingerprint (min of mins, sum of counts; both merges "
+    "are associative+commutative, so the result is order- and "
+    "batching-invariant: the oracle recomputes it from the batch "
+    "table). At 100 TB the delta log is the object-store layout "
+    "(Hudi/Delta-style) and compaction is one shuffle on the "
+    "fingerprint.",
+    tags=("datapipe", "streaming", "dedup", "stateful"),
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    for stale in list(_DEDUP_STREAM_DIRS):
+        shutil.rmtree(stale, ignore_errors=True)
+        _DEDUP_STREAM_DIRS.remove(stale)
+    base = tempfile.mkdtemp(prefix=f"dedup_stream_{_uuid.uuid4().hex[:8]}_")
+    _DEDUP_STREAM_DIRS.append(base)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    topic_dir = os.path.join(base, "topic")
+    delta_base = os.path.join(base, "delta")
+    ckpt = os.path.join(base, "ckpt")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").parquet(topic_dir)
+
+    def _flush_delta(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(F.md5("text").alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(
+                F.min("doc_id").alias("survivor_id"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(delta_base, f"v{epoch_id}"))
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(topic_dir)
+        .writeStream.foreachBatch(_flush_delta)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(topic_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(os.path.join(delta_base, "v*"))
+        .groupBy("fp")
+        .agg(
+            F.min("survivor_id").alias("survivor_id"),
+            F.sum("n_copies").cast("bigint").alias("n_copies"),
+        )
+    )

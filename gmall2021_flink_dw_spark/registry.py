@@ -110,7 +110,7 @@ _WINDOW_ROUND = 5
 # this round) slotted after the stale five. Deferred to r06 (staleness
 # exactly 2, within bound): tpch_q13_custdist, tpch_q17_smallqty,
 # tpch_q21_waiting, tpch_q22_inactive, tpch_q20_excess,
-# tpch_q19_disjunct — self-contained
+# tpch_q19_disjunct, tpch_q9_profit, tpch_q11_importance — self-contained
 # SQL plans in tpch_full.py, untouched since r03, bit-exact-checked
 # locally by test_oracle_parity every session. The r04 cohort (50 fresh
 # rows) rotates out for one round. Total = 50.
@@ -123,6 +123,8 @@ _DRIVER_WINDOW = (
     "dws_visitor_stats_compat",
     # (b) new this round
     "kafka_wire_events",
+    "text_repetition",
+    "streaming_dedup_ingest",
     # (c) r03 rows whose helpers r04 touched (dedup/ann)
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -167,8 +169,6 @@ _DRIVER_WINDOW = (
     "ads_order_quantiles",
     "tpch_q2_mincost",
     "tpch_q8_marketshare",
-    "tpch_q9_profit",
-    "tpch_q11_importance",
 )
 
 

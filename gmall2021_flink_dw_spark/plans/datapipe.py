@@ -262,8 +262,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b, jaccard, TRUE AS recall_ok
     FROM ({_jaccard_pairs_sql(0.95)})
     """,
-    doc="SimHash 64-bit near-dup pairs (hamming <= 6) with 8x8-bit "
-    "block index for candidate generation (pigeonhole guarantee). "
+    doc="SimHash 64-bit near-dup pairs (hamming <= 5) with a "
+    "3-of-8-block combination index for candidate generation "
+    "(pigeonhole exact-recall guarantee; r05 — the single-block index's "
+    "candidate set grew n^2/256 per position, the one super-linear "
+    "term in the dedup family at 10x scale). The radius is CALIBRATED, "
+    "not assumed: the hamming distribution of the true >=0.95-Jaccard "
+    "pairs reaches 5 on this short-doc corpus (10-100 tokens — one "
+    "appended token flips several sign-sums), so Manku et al. WWW'07's "
+    "web-scale k=3 would recall only 62% here; k=5 recalls 100% at "
+    "sf0.01 / 97.7% at sf0.1 (measured, BASELINE.md r05). "
     "Signatures computed in an Arrow mapInPandas tile (bit-identical "
     "to the codegen aggregate form, 3.4x faster — see "
     "datapipe/dedup.py::simhash). Driver-checkable form: rows are the "
@@ -283,7 +291,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_hi = ngram_jaccard_pairs(
         docs, n=5, threshold=0.95, max_df_frac=0.01, df_floor=5
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-    sh = simhash_pairs(docs, max_hamming=6)
+    sh = simhash_pairs(docs, max_hamming=5)
     return _recall_checked(
         exact_hi,
         sh,

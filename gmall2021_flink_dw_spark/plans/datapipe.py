@@ -615,6 +615,47 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq",
+    oracle=f"""
+    SELECT q_id, vec_id, rank, sim, TRUE AS recall_ok
+    FROM ({_ANN_ORACLE})
+    """,
+    doc="Product-quantization ANN with ADC + exact re-rank (Jegou et "
+    "al. 2011; the FAISS Flat-PQ + RefineFlat pattern) — the MEMORY "
+    "path at 100 TB: corpus vectors stored as 8 code bytes (8 "
+    "subspaces x 16 codes, codebooks fit on a deterministic 256-row "
+    "sample, corpus-size-independent) plus one exact norm; the "
+    "corpus-wide scan reads codes against a broadcast per-query "
+    "lookup table, then only the ADC top-100 shortlist per query is "
+    "re-ranked against full-precision vectors. Driver-checkable form: "
+    "rows are the exact brute-force top-5 plus recall_ok = PQ+refine "
+    "recovered >= 40% (measured 0.76 at sf0.01 / 0.64 at sf0.1 on "
+    "RANDOM embeddings — the no-structure worst case for "
+    "quantization; flat ADC without refine measures 0.24/0.12, the "
+    "refine stage is what makes PQ usable on unclustered data).",
+    tags=("datapipe", "ann", "pq"),
+)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.ann import pq_refine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double("embedding").alias("emb"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), as_double("embedding").alias("q_emb")
+    )
+    exact = brute_force_topk(base, queries, k=5)
+    approx = pq_refine_topk(base, queries, shortlist=100, k=5)
+    return _recall_checked(
+        exact,
+        approx,
+        ("q_id", "vec_id"),
+        ["q_id", "vec_id", "rank", "sim"],
+        "recall_ok",
+        0.40,
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH d AS (SELECT doc_id, text, octet_length(text::BLOB) AS n

@@ -110,7 +110,8 @@ _WINDOW_ROUND = 5
 # this round) slotted after the stale five. Deferred to r06 (staleness
 # exactly 2, within bound): tpch_q13_custdist, tpch_q17_smallqty,
 # tpch_q21_waiting, tpch_q22_inactive, tpch_q20_excess,
-# tpch_q19_disjunct, tpch_q9_profit, tpch_q11_importance — self-contained
+# tpch_q19_disjunct, tpch_q9_profit, tpch_q11_importance,
+# tpch_q8_marketshare — self-contained
 # SQL plans in tpch_full.py, untouched since r03, bit-exact-checked
 # locally by test_oracle_parity every session. The r04 cohort (50 fresh
 # rows) rotates out for one round. Total = 50.
@@ -125,6 +126,7 @@ _DRIVER_WINDOW = (
     "kafka_wire_events",
     "text_repetition",
     "streaming_dedup_ingest",
+    "ann_pq",
     # (c) r03 rows whose helpers r04 touched (dedup/ann)
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -168,7 +170,6 @@ _DRIVER_WINDOW = (
     "dws_sales_rollup",
     "ads_order_quantiles",
     "tpch_q2_mincost",
-    "tpch_q8_marketshare",
 )
 
 

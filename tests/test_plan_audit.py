@@ -51,6 +51,7 @@ PAIRWISE_ALLOWED = {
     "ann_topk",
     "ann_bucketed",
     "ann_ivf",
+    "ann_pq",  # embeds the exact brute-force ground truth (cross join)
 }
 
 # Global-scalar-threshold queries: the build side is a 1-row aggregate

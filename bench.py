@@ -117,6 +117,8 @@ HEADLINE = [
     "text_repetition",
     "streaming_dedup_ingest",
     "ann_pq",
+    "streaming_topic_router",
+    "streaming_late_data_drop",
 ]
 
 

@@ -530,3 +530,177 @@ def streaming_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = run_to_memory(agg, name, output_mode="append")
         q.stop()
     return spark.table(name)
+
+
+# temp trees from prior router/late-drop invocations, reclaimed on the
+# next invocation (results consumed between calls, same contract as
+# plans/cdc_routing.py) and at exit
+_ROUTER_DIRS: list[str] = []
+
+
+def _fresh_stream_dir(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    for stale in list(_ROUTER_DIRS):
+        shutil.rmtree(stale, ignore_errors=True)
+        _ROUTER_DIRS.remove(stale)
+    base = tempfile.mkdtemp(prefix=prefix)
+    _ROUTER_DIRS.append(base)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
+@register(
+    "streaming_topic_router",
+    oracle="""
+    SELECT CASE WHEN event_type = 'signup' THEN 'dwd_start_log'
+                WHEN event_type IN ('view','click','purchase')
+                     THEN 'dwd_page_log'
+                ELSE 'dwd_error_log' END AS sink_table,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+    doc="K2/K4 dynamic multi-sink routing, driver-checkable: the event "
+    "stream replays through writeStream.foreachBatch with the "
+    "partitionBy(sink_table) fan-out writer (streaming/pipelines.py::"
+    "foreach_batch_router — one pass per micro-batch, no per-route "
+    "filter loop; MyKafkaUtil.java:27-35 picks the topic per record "
+    "the same way), each record routed to its topic directory "
+    "(BaseLogApp side-output mapping: signup->start, page kinds->page, "
+    "error->error). The query then reads the routed tree BACK and "
+    "aggregates per sink: a green hash vs the batch oracle proves the "
+    "fan-out was complete and exactly-once — every record in exactly "
+    "one topic, none lost or duplicated across epochs (W9: checkpoint "
+    "+ deterministic epoch paths).",
+    tags=("streaming", "sink", "routing", "kafka"),
+)
+def streaming_topic_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gmall2021_flink_dw_spark.streaming.pipelines import (
+        foreach_batch_router,
+    )
+
+    base = _fresh_stream_dir("topic_router_")
+    out_dir = os.path.join(base, "routed")
+    ckpt = os.path.join(base, "ckpt")
+    routed = stream_table(spark, sf_dir, "events").withColumn(
+        "sink_table",
+        F.when(F.col("event_type") == "signup", F.lit("dwd_start_log"))
+        .when(
+            F.col("event_type").isin("view", "click", "purchase"),
+            F.lit("dwd_page_log"),
+        )
+        .otherwise(F.lit("dwd_error_log")),
+    )
+    q = (
+        routed.writeStream.foreachBatch(foreach_batch_router(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    # two-phase distinct (no Expand): per-user pre-aggregate per sink
+    per_user = back.groupBy("sink_table", "user_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return per_user.groupBy("sink_table").agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+_LATE_CUTOFF = "2024-01-16 00:00:00"  # testdata spans 2024-01-01..30
+
+
+@register(
+    "streaming_late_data_drop",
+    oracle=f"""
+    WITH on_time AS (
+      SELECT * FROM events WHERE ts >= TIMESTAMP '{_LATE_CUTOFF}'
+    ), agg AS (
+      SELECT {_STT}, {_EDT}, event_type, count(*) AS pv_ct
+      FROM on_time GROUP BY 1, 2, 3
+    )
+    SELECT stt, edt, event_type, pv_ct FROM agg
+    WHERE edt <= (
+      SELECT strftime(max(ts) - INTERVAL {_WM_S} SECOND,
+                      '%Y-%m-%d %H:%M:%S')
+      FROM on_time
+    )
+    """,
+    doc="W10 late-data drop, driver-checkable: the replay is staged in "
+    "three mtime-ordered files (one per trigger) — the on-time bulk, a "
+    "single max-ts heartbeat row, then every pre-cutoff straggler. "
+    "Spark drops a late row only when its window was EVICTED in a "
+    "PRIOR batch (eviction happens at end-of-batch once the watermark "
+    "passes the window; measured on 4.1.2 — a late row into a "
+    "never-evicted window still merges), so the heartbeat batch is "
+    "what closes every on-time window (watermark = max ts - 11 s) "
+    "before the stragglers replay: each one targets a closed window "
+    "and is dropped (numRowsDroppedByWatermark counts them) — the "
+    "Structured Streaming analog of the reference's "
+    "allowed-lateness-zero behavior (W1 bounded-OOO watermark, "
+    "VisitorStatsApp.java:101: late beyond the bound is discarded, "
+    "not retro-aggregated). The oracle aggregates the on-time rows "
+    "ONLY under the same closure rule; a green hash proves the lates "
+    "were dropped exactly — a full-batch aggregate would differ in "
+    "every window a straggler targeted.",
+    tags=("streaming", "window", "watermark", "late-data"),
+)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gmall2021_flink_dw_spark.sources.batch import load_table
+
+    base = _fresh_stream_dir("late_drop_")
+    topic = os.path.join(base, "topic")
+    os.makedirs(topic, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_LATE_CUTOFF).cast("timestamp")
+    on_time = ev.filter(F.col("ts") >= cutoff)
+    late = ev.filter(F.col("ts") < cutoff)
+    mx = on_time.agg(F.max("ts").alias("__mx"))
+    bulk = on_time.join(F.broadcast(mx)).filter(
+        F.col("ts") < F.col("__mx")
+    ).drop("__mx")
+    heartbeat = on_time.join(F.broadcast(mx)).filter(
+        F.col("ts") == F.col("__mx")
+    ).drop("__mx")
+    # one file per trigger; mtimes pin discovery order
+    f_bulk = os.path.join(topic, "batch0")
+    f_hb = os.path.join(topic, "batch1")
+    f_late = os.path.join(topic, "batch2")
+    bulk.coalesce(1).write.mode("overwrite").parquet(f_bulk)
+    heartbeat.coalesce(1).write.mode("overwrite").parquet(f_hb)
+    late.coalesce(1).write.mode("overwrite").parquet(f_late)
+    now = os.path.getmtime(f_bulk)
+    for d, t in ((f_bulk, now), (f_hb, now + 120), (f_late, now + 240)):
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (t, t))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(topic, "batch*"))
+        .withWatermark("ts", f"{_WM_S} seconds")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "3600 seconds"), "event_type")
+        .agg(F.count(F.lit(1)).alias("pv_ct"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "event_type",
+            "pv_ct",
+        )
+    )
+    name = f"sld_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = run_to_memory(agg, name, output_mode="append")
+        q.stop()
+    return spark.table(name)

@@ -119,6 +119,7 @@ HEADLINE = [
     "ann_pq",
     "streaming_topic_router",
     "streaming_late_data_drop",
+    "streaming_dws_sink",
 ]
 
 

@@ -704,3 +704,63 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = run_to_memory(agg, name, output_mode="append")
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "streaming_dws_sink",
+    oracle=f"""
+    WITH agg AS (
+      SELECT {_STT}, {_EDT}, event_type,
+             count(*) AS pv_ct,
+             cast(sum(cast(value as decimal(18,2))) as double) AS dur_sum
+      FROM events GROUP BY 1, 2, 3
+    ), closed AS (
+      SELECT * FROM agg
+      WHERE edt <= (
+        SELECT strftime(max(ts) - INTERVAL {_WM_S} SECOND,
+                        '%Y-%m-%d %H:%M:%S')
+        FROM events
+      )
+    )
+    SELECT substr(stt, 1, 10) AS dt,
+           count(*) AS n_rows,
+           sum(pv_ct)::BIGINT AS pv_total,
+           round(sum(dur_sum), 2) AS dur_total
+    FROM closed GROUP BY 1
+    """,
+    doc="K3/W9 driver-checkable: the visitor-stats stream writes through "
+    "the production sink path — write_dws_parquet, columnar append "
+    "partitioned by toYYYYMMDD(stt) exactly like the reference's "
+    "ClickHouse tables (ProductStatsApp.java:337-339), checkpointed — "
+    "and the query reads the PARTITIONED TREE back and aggregates per "
+    "day-partition. A green hash against the oracle (watermark-closed "
+    "windows re-aggregated per day) proves the day routing, the "
+    "append, and exactly-once delivery through the checkpoint: a lost "
+    "or duplicated window row would shift n_rows/pv_total in its "
+    "partition.",
+    tags=("streaming", "sink", "window"),
+)
+def streaming_dws_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gmall2021_flink_dw_spark.streaming.pipelines import (
+        write_dws_parquet,
+    )
+
+    base = _fresh_stream_dir("dws_sink_")
+    out_dir = os.path.join(base, "dws")
+    ckpt = os.path.join(base, "ckpt")
+    with _stream_state_partitions(spark):
+        stats = visitor_stats_transform(
+            stream_table(spark, sf_dir, "events").withWatermark(
+                "ts", f"{_WM_S} seconds"
+            )
+        ).drop("uv_ct_approx")
+        q = write_dws_parquet(stats, out_dir, ckpt)
+        q.stop()
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("dt").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("pv_ct").cast("bigint").alias("pv_total"),
+        F.round(F.sum("dur_sum"), 2).alias("dur_total"),
+    ).select(F.col("dt").cast("string").alias("dt"), "n_rows", "pv_total", "dur_total")

@@ -111,7 +111,8 @@ _WINDOW_ROUND = 5
 # exactly 2, within bound): tpch_q13_custdist, tpch_q17_smallqty,
 # tpch_q21_waiting, tpch_q22_inactive, tpch_q20_excess,
 # tpch_q19_disjunct, tpch_q9_profit, tpch_q11_importance,
-# tpch_q8_marketshare, tpch_q2_mincost, ads_order_quantiles — self-contained
+# tpch_q8_marketshare, tpch_q2_mincost, ads_order_quantiles,
+# dws_sales_rollup — self-contained
 # SQL plans in tpch_full.py, untouched since r03, bit-exact-checked
 # locally by test_oracle_parity every session. The r04 cohort (50 fresh
 # rows) rotates out for one round. Total = 50.
@@ -129,6 +130,7 @@ _DRIVER_WINDOW = (
     "ann_pq",
     "streaming_topic_router",
     "streaming_late_data_drop",
+    "streaming_dws_sink",
     # (c) r03 rows whose helpers r04 touched (dedup/ann)
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -169,7 +171,6 @@ _DRIVER_WINDOW = (
     "tpch_q14_promo",
     "tpch_q18_bigorders",
     "ads_top_parts_per_brand",
-    "dws_sales_rollup",
 )
 
 

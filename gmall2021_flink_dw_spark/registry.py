@@ -104,18 +104,19 @@ _WINDOW_ROUND = 5
 
 # r05 window: (a) the five r02-stale queries the r04 staleness test
 # named (each yielded its r04 slot to a same-plan primary and is now at
-# the 2-round bound), (b) dedup/ann r03 cohort whose shared helpers
-# (datapipe/dedup.py, datapipe/ann.py) r04 touched, then (c) the rest of
-# the r03 cohort oldest-registration-first, with kafka_wire_events (new
-# this round) slotted after the stale five. Deferred to r06 (staleness
-# exactly 2, within bound): tpch_q13_custdist, tpch_q17_smallqty,
-# tpch_q21_waiting, tpch_q22_inactive, tpch_q20_excess,
-# tpch_q19_disjunct, tpch_q9_profit, tpch_q11_importance,
-# tpch_q8_marketshare, tpch_q2_mincost, ads_order_quantiles,
-# dws_sales_rollup — self-contained
-# SQL plans in tpch_full.py, untouched since r03, bit-exact-checked
-# locally by test_oracle_parity every session. The r04 cohort (50 fresh
-# rows) rotates out for one round. Total = 50.
+# the 2-round bound), (b) the seven queries NEW this round, (c) the
+# dedup/ann r03 cohort whose shared helpers (datapipe/dedup.py,
+# datapipe/ann.py) r04 touched — dedup_simhash additionally replanned
+# r05 (combination-block index) — then (d) the rest of the r03 cohort
+# in registration order. Deferred to r06 (staleness exactly 2, within
+# bound): tpch_q13_custdist, tpch_q17_smallqty, tpch_q21_waiting,
+# tpch_q22_inactive, tpch_q20_excess, tpch_q19_disjunct,
+# tpch_q9_profit, tpch_q11_importance, tpch_q8_marketshare,
+# tpch_q2_mincost, ads_order_quantiles, dws_sales_rollup —
+# self-contained SQL plans untouched since r03, bit-exact-checked
+# locally by test_oracle_parity every session; they MUST front-load the
+# r06 window. The r04 cohort (50 fresh rows) rotates out for one round.
+# Total = 50.
 _DRIVER_WINDOW = (
     # (a) r02-stale, at the staleness bound
     "sample_hash_bucket",
@@ -131,13 +132,13 @@ _DRIVER_WINDOW = (
     "streaming_topic_router",
     "streaming_late_data_drop",
     "streaming_dws_sink",
-    # (c) r03 rows whose helpers r04 touched (dedup/ann)
+    # (c) r03 rows whose helpers r04/r05 touched (dedup/ann)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_bucketed",
     "ann_ivf",
     "dedup_embedding_lsh",
-    # (c) remaining r03 cohort, registration order
+    # (d) remaining r03 cohort, registration order
     "multimodal_embed",
     "cdc_scd2",
     "streaming_jump_detect",

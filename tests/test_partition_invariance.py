@@ -41,6 +41,15 @@ INVARIANT_QUERIES = [
     "corpus_train_pipeline",
     "text_boilerplate",
     "sample_curriculum_rank",
+    # r05: the wire round trip (per-partition offset synthesis must not
+    # depend on layout), the (doc,gram) pre-agg, PQ (codebook fit +
+    # encode argmins must be layout-independent), and the two
+    # file-round-trip sinks (routed/partitioned trees re-read)
+    "kafka_wire_events",
+    "text_repetition",
+    "ann_pq",
+    "streaming_topic_router",
+    "streaming_dws_sink",
 ]
 
 

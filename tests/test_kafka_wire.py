@@ -11,8 +11,6 @@ the oracle recomputes from the raw table
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import functions as F
 
 from gmall2021_flink_dw_spark.registry import load_all
@@ -125,3 +123,63 @@ def test_wire_twin_runs_as_a_real_stream(spark, tmp_path):
     q.awaitTermination()
     n_stream = spark.read.parquet(out_dir).count()
     assert n_stream == n_batch, (n_stream, n_batch)
+
+
+def test_wire_value_roundtrip_adversarial(spark):
+    """Serialize -> CAST binary -> decode -> from_json must be lossless
+    for adversarial payloads: unicode (CJK, emoji, astral), JSON
+    metacharacters in the nested props string (quotes, backslashes,
+    newlines, braces), and doubles at representation edges (shortest-
+    repr round-trip, denormals, -0.0, 17-significant-digit values)."""
+    from pyspark.sql import types as T
+
+    rows = [
+        (1, 10, "view", 1700000000000000, 0.1, '{"k": 1}'),
+        (2, 11, "中文类型", 1, -0.0, '{"k": 2, "x": "引号\\"和\\\\反斜杠"}'),
+        (3, 12, "emoji🙂", 2, 1e-308, '{"k": 3, "s": "line\\nbreak"}'),
+        (4, 13, "astral𝔘", 3, 0.1234567890123456789, '{"k": 4}'),
+        (5, 14, "t", 4, 1.7976931348623157e308, "not json at all {{{"),
+        (6, 15, "u", 5, 5e-324, None),
+        (7, 16, "v", 6, 123456789.123456789, '{"k": null}'),
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts_us long, "
+        "value double, props string",
+    )
+    wire = src.select(
+        F.to_json(
+            F.struct(
+                "event_id", "user_id", "event_type", "ts_us", "value", "props"
+            )
+        )
+        .cast("binary")
+        .alias("value")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    back = (
+        wire.select(
+            F.from_json(F.expr("CAST(value AS STRING)"), schema).alias("j")
+        )
+        .select("j.*")
+        .collect()
+    )
+    got = sorted((tuple(r) for r in back), key=lambda t: t[0])
+    want = sorted(rows, key=lambda t: t[0])
+    for g, w in zip(got, want):
+        assert g[0:4] == w[0:4], (g, w)
+        # doubles: bit-identical round trip (shortest-repr JSON)
+        import struct
+        gb = struct.pack("<d", g[4])
+        wb = struct.pack("<d", w[4])
+        assert gb == wb, (g[4], w[4])
+        assert g[5] == w[5], (g[5], w[5])

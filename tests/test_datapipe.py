@@ -310,3 +310,53 @@ def test_boilerplate_exact_dup_docs_fully_shared(spark):
     if len(dup_rows):
         assert (dup_rows.n_shared == dup_rows.n_chunks).all()
         assert (dup_rows.boilerplate_ratio == 1.0).all()
+
+
+def test_simhash_combo_index_exact_recall(spark):
+    """The r05 combination-block index must be LOSSLESS at its radius:
+    pairs found == brute-force all-pairs hamming <= k over the same
+    signatures (pigeonhole: k flipped bits damage <= k blocks, so some
+    (8-k)-combination matches). A regression here (wrong combo size,
+    bad key packing) silently loses near-dups at scale."""
+    from pyspark.sql import functions as F
+
+    from gmall2021_flink_dw_spark.datapipe.dedup import simhash, simhash_pairs
+    from gmall2021_flink_dw_spark.datapipe.text import with_tokens
+    from gmall2021_flink_dw_spark.session import ensure_workers_can_import
+    from gmall2021_flink_dw_spark.sources.batch import load_table
+
+    ensure_workers_can_import(spark)
+    docs = with_tokens(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    for k in (3, 5, 6):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_pairs(docs, max_hamming=k).collect()
+        }
+        sh = simhash(docs)
+        a = sh.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"block{i}").alias(f"a{i}") for i in range(8)],
+        )
+        b = sh.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"block{i}").alias(f"b{i}") for i in range(8)],
+        )
+        ham = sum(
+            F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+            for i in range(8)
+        )
+        want = {
+            (r.doc_a, r.doc_b)
+            for r in a.crossJoin(b)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("h", ham.cast("int"))
+            .filter(F.col("h") <= k)
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        assert got == want, (
+            f"k={k}: index missed {len(want - got)} pairs, "
+            f"extra {len(got - want)}"
+        )

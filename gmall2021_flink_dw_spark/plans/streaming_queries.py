@@ -40,17 +40,30 @@ _WM_S = 11  # VisitorStats out-of-orderness (VisitorStatsApp.java:101)
 
 
 @contextmanager
-def _stream_state_partitions(spark: SparkSession, n: str = "8"):
+def _stream_state_partitions(spark: SparkSession, sf_dir: str | None = None):
     """Size the state-store partition count to the STATE, not the CPU
     count: every stateful streaming operator keeps one state store per
     shuffle partition, and per-store open/commit overhead dominates when
     state is small (measured: the stream-stream interval join at sf0.1
-    runs 2.3x faster at 8 partitions than 32). On a real cluster this is
-    the same per-job sizing call, made once at query start — state
-    partitioning is fixed for the life of a streaming query. Results
-    are partition-count invariant (tests/test_partition_invariance.py)."""
+    runs 2.3x faster at 8 partitions than 32) — but too FEW partitions
+    underuse the machine once state is large (measured at 100x sf0.1:
+    the stateful uv dedup runs 1.65x faster at 32 stores than 8). So
+    the count scales with the input: ~1 store per 6 MB of the events
+    source, clamped to [8, 32]. On a real cluster this is the same
+    per-job sizing call, made once at query start — state partitioning
+    is fixed for the life of a streaming query. Results are
+    partition-count invariant (tests/test_partition_invariance.py)."""
+    import os
+
+    n = 8
+    if sf_dir is not None:
+        try:
+            mb = os.path.getsize(os.path.join(sf_dir, "events.parquet")) >> 20
+            n = max(8, min(32, mb // 6))
+        except OSError:
+            pass
     orig = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield
     finally:
@@ -81,7 +94,7 @@ _STT, _EDT = duck_window_bounds("ts", 3600)
     tags=("streaming", "window", "agg"),
 )
 def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, sf_dir):
         stream = visitor_stats_transform(
             stream_table(spark, sf_dir, "events").withWatermark(
                 "ts", f"{_WM_S} seconds"
@@ -118,7 +131,7 @@ def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window", "agg", "distinct"),
 )
 def streaming_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, sf_dir):
         stream = product_stats_transform(
             stream_table(spark, sf_dir, "events").withWatermark(
                 "ts", f"{_WM_S} seconds"
@@ -148,7 +161,7 @@ def streaming_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_new_user_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, sf_dir):
         stream = correct_new_user_stream(stream_table(spark, sf_dir, "events"))
         name = f"snu_{uuid.uuid4().hex[:8]}"
         q = run_to_memory(stream, name)
@@ -206,7 +219,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("pay_event_id", "src_event_id", F.col("p_user").alias("user_id"))
     name = f"sij_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, sf_dir):
         q = run_to_memory(joined, name)
         q.stop()
     return spark.table(name)
@@ -236,7 +249,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_uv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, sf_dir):
         stream = uv_dedup_ttl_stream(stream_table(spark, sf_dir, "events"))
         name = f"suv_{uuid.uuid4().hex[:8]}"
         q = run_to_memory(stream, name)
@@ -279,7 +292,7 @@ def streaming_jump_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall2021_flink_dw_spark.sources.batch import load_table
 
     ensure_workers_can_import(spark)
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, sf_dir):
         stream = jump_detect_stream(stream_table(spark, sf_dir, "events"))
         name = f"sjd_{uuid.uuid4().hex[:8]}"
         q = run_to_memory(stream, name)
@@ -359,7 +372,7 @@ _SESS_GAP_S = 1800  # the engine's session gap (UserJumpDetailApp entry rule)
     tags=("streaming", "window", "session", "agg"),
 )
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, sf_dir):
         events = stream_table(spark, sf_dir, "events").withWatermark(
             "ts", "0 seconds"
         )
@@ -420,7 +433,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window", "hopping", "agg"),
 )
 def streaming_hopping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, sf_dir):
         events = stream_table(spark, sf_dir, "events").withWatermark(
             "ts", "0 seconds"
         )
@@ -493,7 +506,7 @@ _KW_TS_SQL = (
 def streaming_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall2021_flink_dw_spark.functions.tokenizer import tokenize
 
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, sf_dir):
         docs = (
             stream_table(spark, sf_dir, "documents")
             .filter(F.col("lang") == "en")
@@ -700,7 +713,7 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"sld_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, sf_dir):
         q = run_to_memory(agg, name, output_mode="append")
         q.stop()
     return spark.table(name)
@@ -750,7 +763,7 @@ def streaming_dws_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _fresh_stream_dir("dws_sink_")
     out_dir = os.path.join(base, "dws")
     ckpt = os.path.join(base, "ckpt")
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, sf_dir):
         stats = visitor_stats_transform(
             stream_table(spark, sf_dir, "events").withWatermark(
                 "ts", f"{_WM_S} seconds"

@@ -120,6 +120,7 @@ HEADLINE = [
     "streaming_topic_router",
     "streaming_late_data_drop",
     "streaming_dws_sink",
+    "streaming_gmv_dashboard",
 ]
 
 

@@ -777,3 +777,54 @@ def streaming_dws_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pv_ct").cast("bigint").alias("pv_total"),
         F.round(F.sum("dur_sum"), 2).alias("dur_total"),
     ).select(F.col("dt").cast("string").alias("dt"), "n_rows", "pv_total", "dur_total")
+
+
+@register(
+    "streaming_gmv_dashboard",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS gmv,
+           count(*) AS order_ct
+    FROM orders
+    WHERE o_orderdate >= timestamp '1997-03-01'
+      AND o_orderdate < timestamp '1997-04-01'
+    GROUP BY 1
+    """,
+    doc="A6 as the reference actually SERVES it — the continuously-"
+    "updated GMV dashboard (SugarController polls per-day GMV; the "
+    "ClickHouse table re-aggregates on every request): COMPLETE output "
+    "mode, the one Structured Streaming mode no other registered query "
+    "exercises. The orders stream replays through the same per-day "
+    "decimal-exact aggregation and the memory sink holds the full "
+    "refreshed result after every trigger; after full replay the "
+    "complete table equals the batch aggregate EXACTLY (complete mode "
+    "re-emits all groups, so no watermark-closure subset is involved "
+    "and the oracle is the plain batch GMV query). State note for "
+    "100 TB: complete mode keeps every group in state and re-emits all "
+    "of them per trigger — right for a dashboard whose group count is "
+    "bounded (days x dims), wrong for unbounded keys; the append-mode "
+    "family above covers that case.",
+    tags=("streaming", "agg", "ads", "complete-mode"),
+)
+def streaming_gmv_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _stream_state_partitions(spark, sf_dir):
+        orders = stream_table(spark, sf_dir, "orders")
+        gmv = (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+            )
+            .groupBy(
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt")
+            )
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("gmv"),
+                F.count(F.lit(1)).alias("order_ct"),
+            )
+        )
+        name = f"sgd_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(gmv, name, output_mode="complete")
+        q.stop()
+    return spark.table(name)

@@ -132,6 +132,7 @@ _DRIVER_WINDOW = (
     "streaming_topic_router",
     "streaming_late_data_drop",
     "streaming_dws_sink",
+    "streaming_gmv_dashboard",
     # (c) r03 rows whose helpers r04/r05 touched (dedup/ann)
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -171,7 +172,6 @@ _DRIVER_WINDOW = (
     "tpch_q12_caseagg",
     "tpch_q14_promo",
     "tpch_q18_bigorders",
-    "ads_top_parts_per_brand",
 )
 
 

@@ -121,6 +121,7 @@ HEADLINE = [
     "streaming_late_data_drop",
     "streaming_dws_sink",
     "streaming_gmv_dashboard",
+    "streaming_gmv_update_log",
 ]
 
 

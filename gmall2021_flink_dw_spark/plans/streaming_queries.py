@@ -828,3 +828,86 @@ def streaming_gmv_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = run_to_memory(gmv, name, output_mode="complete")
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "streaming_gmv_update_log",
+    oracle="""
+    WITH o AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
+             o_orderkey % 4 AS b,
+             o_totalprice
+      FROM orders
+      WHERE o_orderdate >= timestamp '1997-03-01'
+        AND o_orderdate < timestamp '1997-04-01'
+    ), per_batch AS (
+      SELECT dt, b,
+             sum(cast(o_totalprice as decimal(18,2))) AS gmv_b,
+             count(*) AS ct_b
+      FROM o GROUP BY dt, b
+    )
+    SELECT dt,
+           cast(sum(gmv_b) OVER (PARTITION BY dt ORDER BY b) as double)
+             AS gmv,
+           cast(sum(ct_b) OVER (PARTITION BY dt ORDER BY b) as bigint)
+             AS order_ct
+    FROM per_batch
+    """,
+    doc="UPDATE output mode — the last of Structured Streaming's three "
+    "output modes to get oracle-checked evidence (append: the windowed "
+    "family; complete: streaming_gmv_dashboard): the month's orders "
+    "replay in four deterministic micro-batches (orderkey % 4 split, "
+    "mtime-ordered, one file per trigger) and update mode emits each "
+    "day's row ONLY in triggers where that day changed, carrying the "
+    "cumulative aggregate at that point — the emission LOG. The oracle "
+    "reconstructs the exact log in SQL: for every (day, batch) with "
+    "at least one row, the running total through that batch. A green "
+    "hash pins Spark's update-mode contract — changed groups only, "
+    "new value per emission, nothing re-emitted silently — which is "
+    "what a downstream idempotent-upsert sink (K4) depends on.",
+    tags=("streaming", "agg", "update-mode"),
+)
+def streaming_gmv_update_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gmall2021_flink_dw_spark.sources.batch import load_table
+
+    base = _fresh_stream_dir("gmv_update_")
+    topic = os.path.join(base, "topic")
+    os.makedirs(topic, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    paths = []
+    for b in range(4):
+        pth = os.path.join(topic, f"batch{b}")
+        orders.filter(F.pmod("o_orderkey", F.lit(4)) == b).coalesce(
+            1
+        ).write.mode("overwrite").parquet(pth)
+        paths.append(pth)
+    now = os.path.getmtime(paths[0])
+    for i, pth in enumerate(paths):
+        for fn in os.listdir(pth):
+            os.utime(os.path.join(pth, fn), (now + i * 120,) * 2)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(topic, "batch*"))
+    )
+    gmv = (
+        stream.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("gmv"),
+            F.count(F.lit(1)).alias("order_ct"),
+        )
+    )
+    name = f"sgu_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark, sf_dir):
+        q = run_to_memory(gmv, name, output_mode="update")
+        q.stop()
+    return spark.table(name)

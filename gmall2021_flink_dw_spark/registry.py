@@ -133,6 +133,7 @@ _DRIVER_WINDOW = (
     "streaming_late_data_drop",
     "streaming_dws_sink",
     "streaming_gmv_dashboard",
+    "streaming_gmv_update_log",
     # (c) r03 rows whose helpers r04/r05 touched (dedup/ann)
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -155,7 +156,6 @@ _DRIVER_WINDOW = (
     "ads_top_brands",
     "ads_top_types",
     "ads_top_parts",
-    "cdc_asof_enrich",
     "dws_session_window",
     "dws_salted_agg",
     "tpch_q10_returns",

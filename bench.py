@@ -122,6 +122,10 @@ HEADLINE = [
     "streaming_dws_sink",
     "streaming_gmv_dashboard",
     "streaming_gmv_update_log",
+    "dedup_semantic",
+    "dedup_winnow_pairs",
+    "quality_classifier",
+    "text_perplexity",
 ]
 
 

@@ -272,10 +272,25 @@ def bucketed_cosine_pairs(
     key at scale. Pairs surfacing in several shared buckets dedup via
     groupBy min-sim-carrying distinct.
     """
+    probed = emb.withColumn(
+        "bucket", F.explode(probe_buckets(F.col("emb"), bits))
+    ).select("bucket", "vec_id", "emb")
+    pairs = probed.groupBy("bucket").applyInPandas(
+        _cosine_tile(threshold), PAIR_SCHEMA
+    )
+    # a pair can collide in up to two shared probe buckets — dedup; sim
+    # is identical in each, so first() is exact.
+    return pairs.groupBy("vec_a", "vec_b").agg(F.first("sim").alias("sim"))
+
+
+def _cosine_tile(threshold: float):
+    """Per-group GEMM kernel shared by the bucketed (LSH) and clustered
+    (SemDeDup) pair builders: one BLAS matmul over the group's vectors,
+    threshold applied before anything leaves the worker, i<j pairs only."""
     import numpy as np
     import pandas as pd
 
-    def bucket_tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame(
                 {"vec_a": pd.Series(dtype="int64"),
@@ -293,12 +308,50 @@ def bucketed_cosine_pairs(
              "sim": sims[ia, ib][keep]}
         )
 
-    probed = emb.withColumn(
-        "bucket", F.explode(probe_buckets(F.col("emb"), bits))
-    ).select("bucket", "vec_id", "emb")
-    pairs = probed.groupBy("bucket").applyInPandas(bucket_tile, PAIR_SCHEMA)
-    # a pair can collide in up to two shared probe buckets — dedup; sim
-    # is identical in each, so first() is exact.
+    return tile
+
+
+def clustered_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    n_clusters: int = 16,
+    n_assign: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embedding space, then score
+    pairs only WITHIN a cluster — pairwise work drops from n^2 to
+    sum(cluster_size^2), and the cluster id is the shuffle/partition key
+    at 100 TB.
+
+    Differs from the sign-bucket LSH path (bucketed_cosine_pairs) in how
+    the candidate space is bounded: LSH buckets are data-independent
+    hyperplane signs; k-means centroids ADAPT to the corpus, so on real
+    (clustered) embeddings the same candidate budget yields higher
+    recall. Each vector joins its n_assign closest centroids' lists
+    (soft assignment) so near-boundary pairs — whose members' nearest
+    centroids differ — still meet in the second-choice list; with
+    n_assign=2 a pair is missed only when the two top-2 centroid sets
+    are disjoint. The coarse quantizer is the same corpus-size-
+    independent bounded-sample fit ann_ivf uses (kmeans_centroids).
+    Per-cluster scoring reuses the shared GEMM tile; pairs meeting in
+    several shared lists dedup exactly (sim identical in each)."""
+    from pyspark.sql import Window
+
+    b = emb.withColumn("__vn", norm(F.col("emb")))
+    centroids = F.broadcast(kmeans_centroids(b, n_clusters))
+    scored = b.crossJoin(centroids).withColumn(
+        "__csim",
+        _dot(F.col("emb"), F.col("__c_emb")) / (F.col("__vn") * F.col("__c_n")),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("__csim"), F.asc("__c_id"))
+    assigned = (
+        scored.withColumn("__pr", F.row_number().over(w))
+        .filter(F.col("__pr") <= n_assign)
+        .select(F.col("__c_id").alias("__list"), "vec_id", "emb")
+    )
+    pairs = assigned.groupBy("__list").applyInPandas(
+        _cosine_tile(threshold), PAIR_SCHEMA
+    )
     return pairs.groupBy("vec_a", "vec_b").agg(F.first("sim").alias("sim"))
 
 

@@ -154,4 +154,93 @@ def duck_shingles(n: int = 5) -> str:
     return f"list_distinct(list_transform(range(1, len(w)-{n - 2}), i -> {parts}))"
 
 
+def bigram_pairs(tokens: Column | str) -> Column:
+    """Ordered (w1, w2) bigram structs over a tokens array — the n=2
+    positional counterpart of `shingles` (which is distinct strings;
+    a language model needs every occurrence, in order). Arrays shorter
+    than 2 yield an empty list, same total-function guard as shingles."""
+    t_in = F.col(tokens) if isinstance(tokens, str) else tokens
+
+    def body(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - 1)
+        built = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + 1).alias("w2"),
+            ),
+        )
+        empty = F.array().cast(
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("w1", T.StringType()),
+                        T.StructField("w2", T.StringType()),
+                    ]
+                )
+            )
+        )
+        return F.when(F.size(t) >= 2, built).otherwise(empty)
+
+    return let(t_in, body)
+
+
+DUCK_BIGRAMS_SQL = (
+    "list_transform(range(1, len(w)), "
+    "i -> struct_pack(w1 := w[i], w2 := w[i+1]))"
+)
+
+
+def winnow_fingerprints(tokens: Column) -> Column:
+    """Winnowing-selected hash set over a tokens array (MOSS / Schleimer
+    et al. 2003): md5 each token 3-gram in order, slide a window of 3
+    over the hash sequence, keep the min per window, distinct+sort.
+    Shared by the per-doc fingerprint query (doc_winnow_fingerprint) and
+    the cross-doc overlap pairs (dedup_winnow_pairs). Any shared run of
+    >= window+gram tokens between two docs surfaces a shared selected
+    hash — the property the pair join exploits. Caller guards
+    size(tokens) >= 5 (gram + window - 1)."""
+
+    def fp_of(t: Column) -> Column:
+        hs = F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                )
+            ),
+        )
+        return let(
+            hs,
+            lambda h: F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(h) - 2),
+                        lambda i: F.array_min(F.slice(h, i, 3)),
+                    )
+                )
+            ),
+        )
+
+    return let(tokens, fp_of)
+
+
+# DuckDB translation of winnow_fingerprints over a 1-based list column
+# `w` (the `g`/`win` CTE pair used by both winnowing oracles).
+DUCK_WINNOW_CTES = """
+    g AS (
+      SELECT doc_id, list_transform(range(1, len(w)-1),
+             i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS hs
+      FROM t WHERE len(w) >= 5
+    ), win AS (
+      SELECT doc_id, list_sort(list_distinct(list_transform(
+               range(1, len(hs)-1),
+               i -> list_aggregate(hs[i:i+2], 'min')))) AS fp
+      FROM g
+    )"""
+
+
 TOKENS_SQL = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"

@@ -33,8 +33,11 @@ from gmall2021_flink_dw_spark.datapipe.multimodal import (
     decode_features,
 )
 from gmall2021_flink_dw_spark.datapipe.text import (
+    DUCK_BIGRAMS_SQL,
+    DUCK_WINNOW_CTES,
     STOPWORDS,
     TOKENS_SQL,
+    bigram_pairs,
     duck_marker_hits,
     duck_predict_lang,
     duck_shingles,
@@ -510,20 +513,159 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QC_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register(
+    "quality_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_SQL} AS w FROM documents
+    ), feat AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             list_sum(list_transform(w, t ->
+               ('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000))
+               AS sum_w,
+             len(list_filter(w, t -> t IN ({_QC_STOP_SQL}))) AS n_stop
+      FROM t WHERE len(w) > 0
+    )
+    SELECT doc_id, n_tokens,
+           (2 * sum_w + 1000 * n_stop)::DOUBLE / (2000.0 * n_tokens)
+             AS score,
+           (2 * sum_w + 1000 * n_stop) > 0 AS keep
+    FROM feat
+    """,
+    doc="Hash-trick linear quality classifier (the fastText-style "
+    "filter shape of CCNet/RefinedWeb, with deterministic hash-derived "
+    "weights standing in for trained ones): each token indexes a "
+    "weight via md5 -> [-1, 1] in 1/1000 steps, doc score = mean "
+    "token weight + 0.5 * stopword ratio, keep = score > 0. At scale "
+    "a trained weight vector is a broadcast array indexed by the same "
+    "hash — the scoring plan is identical. The whole path stays in "
+    "whole-stage codegen: the per-doc weight sum is an integer "
+    "F.aggregate fold over the token array (no explode, no shuffle, "
+    "and — being integer — exactly associative, so Spark and DuckDB "
+    "agree bit-for-bit regardless of fold order). The score is kept "
+    "as ONE exact integer ratio, (2*sum_w + 1000*n_stop)/(2000*n) — "
+    "a single correctly-rounded IEEE divide, bit-identical across "
+    "engines with no round() (whose half-way decimals the engines "
+    "break differently; a 0.1283875 hit this at sf0.01).",
+    tags=("datapipe", "text", "quality"),
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    t = F.col("__tokens")
+    n_tok = F.size(t)
+    w_int = lambda x: (  # noqa: E731 — token -> integer weight in [-1000, 1000]
+        F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint") % 2001
+        - 1000
+    )
+    sum_w = F.aggregate(
+        F.transform(t, w_int),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_stop = marker_hits(t, STOPWORDS)
+    num = F.lit(2) * sum_w + F.lit(1000) * n_stop
+    score = num.cast("double") / (F.lit(2000.0) * n_tok)
+    return docs.filter(n_tok > 0).select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        score.alias("score"),
+        (num > 0).alias("keep"),
+    )
+
+
+@register(
+    "text_perplexity",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS w FROM documents),
+    bg AS (
+      SELECT doc_id, unnest({DUCK_BIGRAMS_SQL}) AS p
+      FROM tok WHERE len(w) >= 2
+    ),
+    dtf AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS k
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    bc AS (SELECT w1, w2, sum(k)::BIGINT AS cb FROM dtf GROUP BY 1, 2),
+    uc AS (SELECT w1, sum(k)::BIGINT AS cu FROM dtf GROUP BY 1),
+    voc AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(w) AS t FROM tok)
+    ),
+    doc AS (
+      SELECT d.doc_id,
+             sum(d.k * ln((bc.cb + 1)::DOUBLE / (uc.cu + voc.v)))
+               / sum(d.k) AS lp,
+             sum(d.k)::BIGINT AS n_bigrams
+      FROM dtf d
+      JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN voc
+      GROUP BY 1
+    ),
+    mu AS (SELECT avg(lp) AS mu FROM doc)
+    SELECT doc_id, n_bigrams, round(lp, 6) AS logprob, lp >= mu.mu AS keep
+    FROM doc, mu
+    """,
+    doc="Bigram-LM fluency filter (the CCNet/RefinedWeb perplexity-"
+    "filter shape, self-trained on the corpus): per-doc mean log "
+    "P(w2|w1) under an add-one-smoothed bigram model whose counts come "
+    "from the corpus itself; keep = at-or-above the corpus mean. "
+    "Plan: one shuffle to per-(doc, bigram) counts, model counts by "
+    "RE-aggregating that table (the tfidf two-phase pattern — no "
+    "second pass over raw text), vocab size and corpus mean as 1-row "
+    "broadcast aggs, score joins keyed on the bigram (AQE splits the "
+    "hot 'of the'-style keys). At 100 TB the model tables are exactly "
+    "the KenLM count files — materialized once, broadcast/bucket-"
+    "joined by every scoring run.",
+    tags=("datapipe", "text", "quality", "join"),
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tracked_persist(with_tokens(load_table(spark, sf_dir, "documents")))
+    t = F.col("__tokens")
+    bg = docs.filter(F.size(t) >= 2).select(
+        "doc_id", F.explode(bigram_pairs(t)).alias("p")
+    )
+    # per-(doc, bigram) counts feed three consumers (model counts x2 +
+    # scoring join) — persist, same rationale as tfidf's tf table.
+    dtf = tracked_persist(
+        bg.select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bc = dtf.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
+    uc = dtf.groupBy("w1").agg(F.sum("k").alias("cu"))
+    voc = docs.select(F.explode(t).alias("tk")).agg(
+        F.count_distinct("tk").alias("v")
+    )
+    lp_term = F.log(
+        (F.col("cb") + F.lit(1)).cast("double") / (F.col("cu") + F.col("v"))
+    )
+    doc_scores = (
+        dtf.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .crossJoin(F.broadcast(voc))
+        .withColumn("lpk", F.col("k") * lp_term)
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("lpk") / F.sum("k")).alias("lp"),
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    mu = doc_scores.agg(F.avg("lp").alias("mu"))
+    return doc_scores.crossJoin(F.broadcast(mu)).select(
+        "doc_id",
+        "n_bigrams",
+        F.round("lp", 6).alias("logprob"),
+        (F.col("lp") >= F.col("mu")).alias("keep"),
+    )
+
+
 @register(
     "doc_winnow_fingerprint",
     oracle=f"""
     WITH t AS (SELECT doc_id, {TOKENS_SQL} AS w FROM documents),
-    g AS (
-      SELECT doc_id, list_transform(range(1, len(w)-1),
-             i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS hs
-      FROM t WHERE len(w) >= 5
-    ), win AS (
-      SELECT doc_id, list_sort(list_distinct(list_transform(
-               range(1, len(hs)-1),
-               i -> list_aggregate(hs[i:i+2], 'min')))) AS fp
-      FROM g
-    )
+    {DUCK_WINNOW_CTES}
     SELECT doc_id, len(fp) AS n_fp,
            md5(array_to_string(fp, ',')) AS fingerprint
     FROM win
@@ -533,48 +675,117 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence, keep the min per window, distinct+sort the kept hashes "
     "— a compact fingerprint robust to local edits (any shared run of "
     ">= window+gram tokens surfaces a shared selected hash). Pure "
-    "array expressions, one pass, no shuffle beyond the scan.",
+    "array expressions, one pass, no shuffle beyond the scan. Selected-"
+    "hash construction shared with dedup_winnow_pairs "
+    "(datapipe/text.py::winnow_fingerprints).",
     tags=("datapipe", "text", "dedup"),
 )
 def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gmall2021_flink_dw_spark.datapipe.text import let
+    from gmall2021_flink_dw_spark.datapipe.text import winnow_fingerprints
 
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
-
-    def fp_of(t):
-        # ordered (positional) 3-gram hashes — winnowing needs the
-        # sequence, not the distinct set
-        hs = F.transform(
-            F.sequence(F.lit(1), F.size(t) - 2),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ",
-                    F.element_at(t, i),
-                    F.element_at(t, i + 1),
-                    F.element_at(t, i + 2),
-                )
-            ),
-        )
-        return let(
-            hs,
-            lambda h: F.array_sort(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(h) - 2),
-                        lambda i: F.array_min(F.slice(h, i, 3)),
-                    )
-                )
-            ),
-        )
-
     t = F.col("__tokens")
     out = docs.filter(F.size(t) >= 5).select(
-        "doc_id", let(t, fp_of).alias("fp")
+        "doc_id", winnow_fingerprints(t).alias("fp")
     )
     return out.select(
         "doc_id",
         F.size("fp").cast("bigint").alias("n_fp"),
         F.md5(F.concat_ws(",", F.col("fp"))).alias("fingerprint"),
+    )
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKENS_SQL} AS w FROM documents),
+    {DUCK_WINNOW_CTES},
+    e AS (
+      SELECT doc_id, len(fp) AS n_fp, unnest(fp) AS h FROM win
+    ),
+    capped AS (
+      SELECT h FROM e GROUP BY h
+      HAVING count(*) <= greatest(5,
+             ceil(0.01 * (SELECT count(DISTINCT doc_id) FROM e)))
+    ),
+    ec AS (SELECT e.* FROM e JOIN capped USING (h))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared,
+           round(count(*)::double /
+                 least(any_value(a.n_fp), any_value(b.n_fp)), 6)
+             AS overlap
+    FROM ec a JOIN ec b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+    doc="Cross-doc winnowing overlap pairs (the MOSS match step, "
+    "Schleimer et al. 2003): explode each doc's winnow-selected hashes "
+    "into an inverted index, self-join on the hash, keep pairs sharing "
+    ">= 3 selected hashes, report containment overlap n_shared/"
+    "min(|fp_a|,|fp_b|). The index holds only the winnow-SELECTED "
+    "hashes (~1/window of all 3-grams) — sub-linear index size is the "
+    "winnowing point vs the full-shingle Jaccard join. Same df cap as "
+    "dedup_ngram_jaccard (hashes in > max(5, 1% of corpus) docs "
+    "dropped pre-join) bounds the per-hash fan-out at 100x data; "
+    "exact, no sketch — bit-reproducible by the oracle.",
+    tags=("datapipe", "dedup", "join"),
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.text import winnow_fingerprints
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    t = F.col("__tokens")
+    fp = docs.filter(F.size(t) >= 5).select(
+        "doc_id", winnow_fingerprints(t).alias("fp")
+    )
+    e = tracked_persist(
+        fp.select(
+            "doc_id",
+            F.size("fp").cast("bigint").alias("n_fp"),
+            F.explode("fp").alias("h"),
+        )
+    )
+    # Relative df cap, action-free (the ngram_jaccard_pairs pattern):
+    # corpus size as a lazy 1-row broadcast agg, HOT hashes (small by
+    # construction) anti-joined away.
+    df_counts = e.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    total = e.agg(F.count_distinct("doc_id").alias("__n"))
+    hot = df_counts.crossJoin(F.broadcast(total)).filter(
+        F.col("__df")
+        > F.greatest(F.lit(5), F.ceil(F.lit(0.01) * F.col("__n")))
+    )
+    ec = e.join(F.broadcast(hot.select("h")), "h", "left_anti")
+    # Partitioned self-join on the hash (shuffle_hash: Catalyst's size
+    # estimate for exploded output under-counts and would broadcast the
+    # whole index — the same trap ngram_jaccard_pairs documents).
+    a = ec.select(
+        F.col("h"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_fp").alias("na"),
+    ).hint("shuffle_hash")
+    b = ec.select(
+        F.col("h"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_fp").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter(F.col("n_shared") >= 3)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        F.round(
+            F.col("n_shared").cast("double") / F.least("na", "nb"), 6
+        ).alias("overlap"),
     )
 
 
@@ -1236,6 +1447,56 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_recall") >= 0.40).alias("recall_ok"),
             (F.col("_spurious") == 0).alias("precision_ok"),
         )
+    )
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    SELECT vec_a, vec_b, sim, TRUE AS recall_ok
+    FROM ({_EMB_DEDUP_ORACLE})
+    """,
+    doc="SemDeDup semantic near-dup pairs (Abbas et al. 2023, "
+    "arXiv:2303.09540): k-means cluster the embeddings (the same "
+    "corpus-size-independent bounded-sample fit as ann_ivf), score "
+    "pairs only within a cluster via one GEMM per cluster — pairwise "
+    "work n^2 -> sum(cluster^2) with the cluster id as the shuffle key "
+    "at 100 TB. Soft assignment (each vector joins its 2 closest "
+    "lists) recovers near-boundary pairs. Differs from "
+    "dedup_embedding_lsh in candidate bounding: LSH signs are data-"
+    "independent; centroids adapt to the corpus, the property that "
+    "makes SemDeDup effective on real clustered embeddings. Driver-"
+    "checkable form: rows are the exact all-pairs result (oracle-"
+    "reproducible) plus recall_ok = the clustered path recovered >= "
+    "40% of them (measured 0.71 at sf0.01 / 0.54 at sf0.1 on RANDOM "
+    "embeddings — no cluster structure, the SemDeDup worst case; "
+    "precision is exact by construction, candidates are scored with "
+    "true cosine). Tighter per-config recall in tests/test_datapipe.py.",
+    tags=("datapipe", "dedup", "ann", "kmeans"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.ann import (
+        blocked_cosine_pairs,
+        clustered_cosine_pairs,
+    )
+
+    ensure_workers_can_import(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    exact = blocked_cosine_pairs(emb, threshold=0.45, n_blocks=8).select(
+        "vec_a", "vec_b", F.round("sim", 6).alias("sim")
+    )
+    approx = clustered_cosine_pairs(
+        emb, threshold=0.45, n_clusters=16, n_assign=2
+    )
+    return _recall_checked(
+        exact,
+        approx,
+        ("vec_a", "vec_b"),
+        ["vec_a", "vec_b", "sim"],
+        "recall_ok",
+        0.40,
     )
 
 

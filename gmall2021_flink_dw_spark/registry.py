@@ -112,7 +112,9 @@ _WINDOW_ROUND = 5
 # bound): tpch_q13_custdist, tpch_q17_smallqty, tpch_q21_waiting,
 # tpch_q22_inactive, tpch_q20_excess, tpch_q19_disjunct,
 # tpch_q9_profit, tpch_q11_importance, tpch_q8_marketshare,
-# tpch_q2_mincost, ads_order_quantiles, dws_sales_rollup —
+# tpch_q2_mincost, ads_order_quantiles, dws_sales_rollup, and (yielded
+# late-r05 to the second wave of new queries) tpch_q16_anti,
+# tpch_q12_caseagg, tpch_q14_promo, tpch_q18_bigorders —
 # self-contained SQL plans untouched since r03, bit-exact-checked
 # locally by test_oracle_parity every session; they MUST front-load the
 # r06 window. The r04 cohort (50 fresh rows) rotates out for one round.
@@ -134,6 +136,10 @@ _DRIVER_WINDOW = (
     "streaming_dws_sink",
     "streaming_gmv_dashboard",
     "streaming_gmv_update_log",
+    "dedup_semantic",
+    "dedup_winnow_pairs",
+    "quality_classifier",
+    "text_perplexity",
     # (c) r03 rows whose helpers r04/r05 touched (dedup/ann)
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -168,10 +174,6 @@ _DRIVER_WINDOW = (
     "tpch_q5",
     "tpch_q6",
     "tpch_q4_semi",
-    "tpch_q16_anti",
-    "tpch_q12_caseagg",
-    "tpch_q14_promo",
-    "tpch_q18_bigorders",
 )
 
 

@@ -67,6 +67,11 @@ SCALAR_THRESHOLD_ALLOWED = {
     # driver-checkable sketch queries: the recall/precision flag is a
     # 1-row broadcast aggregate cross-joined onto the exact rows
     "dedup_embedding_lsh",
+    "dedup_semantic",
+    # 1-row corpus-size scalar for the df cap (ngram_jaccard pattern)
+    "dedup_winnow_pairs",
+    # vocab-size + corpus-mean 1-row broadcast scalars
+    "text_perplexity",
 }
 
 DIM_TABLES = ("nation", "region", "part.parquet", "supplier", "customer")

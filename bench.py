@@ -126,6 +126,8 @@ HEADLINE = [
     "dedup_winnow_pairs",
     "quality_classifier",
     "text_perplexity",
+    "corpus_length_histogram",
+    "corpus_ngram_novelty",
 ]
 
 

@@ -2267,3 +2267,99 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_copies").cast("bigint").alias("n_copies"),
         )
     )
+
+
+@register(
+    "corpus_length_histogram",
+    oracle="""
+    SELECT source,
+           least(n_chars // 256, 19) AS bucket,
+           least(n_chars // 256, 19) * 256 AS lo_chars,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM documents
+    GROUP BY 1, 2, 3
+    """,
+    doc="Per-source document-length histogram: fixed-width 256-char "
+    "bins with a top catch-all bucket (the width_bucket shape kept to "
+    "integer div so both engines bin identically) — the distribution "
+    "report every corpus intake runs before choosing packing lengths "
+    "and truncation cutoffs. One partial-aggregated shuffle on "
+    "(source, bucket); at 100 TB the same plan over the day-partitioned "
+    "corpus is a per-partition scan + 20-ish rows per source.",
+    tags=("datapipe", "text", "agg"),
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 256), F.lit(19)).cast("bigint")
+    return (
+        docs.select("source", bucket.alias("bucket"), "n_chars")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "source",
+            "bucket",
+            (F.col("bucket") * 256).alias("lo_chars"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle=f"""
+    WITH t AS (SELECT source, {TOKENS_SQL} AS w FROM documents),
+    sg AS (
+      SELECT DISTINCT source, unnest({duck_shingles(3)}) AS shingle
+      FROM t WHERE len(w) >= 3
+    ),
+    spread AS (
+      SELECT shingle, count(*) AS n_sources FROM sg GROUP BY shingle
+    )
+    SELECT sg.source,
+           count(*) AS n_grams,
+           sum(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_unique,
+           sum(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) AS uniqueness
+    FROM sg JOIN spread USING (shingle)
+    GROUP BY 1
+    """,
+    doc="Per-source n-gram novelty — the corpus-diversity report of a "
+    "training-data mix: for each source, the fraction of its distinct "
+    "word-3-grams found in NO other source. Shape: distinct "
+    "(source, shingle) pairs (one shuffle), shingle spread by "
+    "re-aggregating that table (the two-phase pattern — no second pass "
+    "over text), join back on the shingle, per-source integer counts "
+    "with one exact double divide at the edge (bit-deterministic). At "
+    "100 TB the distinct pair table is the materialized inverted index "
+    "the dedup family already builds — this report is a reuse of it.",
+    tags=("datapipe", "text", "agg", "join"),
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.text import shingles
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    t = F.col("__tokens")
+    sg = tracked_persist(
+        docs.filter(F.size(t) >= 3)
+        .select("source", F.explode(shingles(t, 3)).alias("shingle"))
+        .dropDuplicates(["source", "shingle"])
+    )
+    spread = sg.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_sources"))
+    novel = F.sum(
+        F.when(F.col("n_sources") == 1, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        sg.join(spread, "shingle")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("bigint").alias("n_unique"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("uniqueness"),
+        )
+    )

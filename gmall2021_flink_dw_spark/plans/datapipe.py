@@ -634,7 +634,14 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("k"))
     )
     bc = dtf.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
-    uc = dtf.groupBy("w1").agg(F.sum("k").alias("cu"))
+    # cu re-aggregates bc (not dtf): sum over w2 of cb == sum over dtf of
+    # k, same integers, but the input is the model table — and the
+    # leading-word join lands on the MODEL side, so the big per-doc
+    # table is shuffled once (on the bigram), not twice. At 100 TB dtf
+    # is corpus-sized while bc/uc are vocabulary-sized; joining them
+    # first is the difference between one and two corpus shuffles.
+    uc = bc.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    model = bc.join(uc, ["w1"])
     voc = docs.select(F.explode(t).alias("tk")).agg(
         F.count_distinct("tk").alias("v")
     )
@@ -642,8 +649,7 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cb") + F.lit(1)).cast("double") / (F.col("cu") + F.col("v"))
     )
     doc_scores = (
-        dtf.join(bc, ["w1", "w2"])
-        .join(uc, ["w1"])
+        dtf.join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(voc))
         .withColumn("lpk", F.col("k") * lp_term)
         .groupBy("doc_id")

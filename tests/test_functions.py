@@ -247,3 +247,39 @@ def test_tokenize_udf_fmm_deterministic(spark):
     ).collect()}
     assert rows[1] == ["小米", "手机", "iphone", "15", "优惠券"]
     assert rows[2] == []
+
+
+def test_bigram_and_winnow_guards_on_short_docs(spark):
+    """Spark 4 ANSI traps: sequence() descends when stop < start, and
+    element_at(_, 0) throws — the per-row guards in bigram_pairs /
+    winnow_fingerprints / shingles must make 0/1/short-token docs yield
+    empty arrays, not errors."""
+    from pyspark.sql import functions as F
+
+    from gmall2021_flink_dw_spark.datapipe.text import (
+        bigram_pairs,
+        winnow_fingerprints,
+    )
+    from gmall2021_flink_dw_spark.functions.tokenizer import tokenize
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("two words",), ("now three words",),
+         ("a b c d e f g",), ("中文 no ascii gap",)],
+        "text string",
+    ).withColumn("t", tokenize("text"))
+    out = df.select(
+        F.size(bigram_pairs(F.col("t"))).alias("n_bg"),
+        F.size(
+            F.when(
+                F.size("t") >= 5, winnow_fingerprints(F.col("t"))
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("n_fp"),
+        F.size("t").alias("n"),
+    ).collect()
+    for r in out:
+        assert r.n_bg == max(0, r.n - 1), r
+        assert r.n_fp >= 0
+    # 7-token doc: 5 ordered 3-gram hashes, window-of-3 minima -> 3
+    # positions, <= 3 distinct selected hashes
+    seven = [r for r in out if r.n == 7][0]
+    assert 1 <= seven.n_fp <= 3

@@ -621,7 +621,14 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "text", "quality", "join"),
 )
 def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tracked_persist(with_tokens(load_table(spark, sf_dir, "documents")))
+    # project BEFORE persisting: persist materializes whatever it is
+    # handed, so caching the full row would defeat parquet column
+    # pruning (the scan must read only doc_id + text)
+    docs = tracked_persist(
+        with_tokens(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "__tokens"
+        )
+    )
     t = F.col("__tokens")
     bg = docs.filter(F.size(t) >= 2).select(
         "doc_id", F.explode(bigram_pairs(t)).alias("p")

@@ -50,6 +50,16 @@ INVARIANT_QUERIES = [
     "ann_pq",
     "streaming_topic_router",
     "streaming_dws_sink",
+    # late-r05: k-means assignment + per-cluster GEMM (centroid means
+    # are float avgs — the recall FLAG must absorb any layout drift in
+    # assignments while the exact output rows stay identical), the
+    # df-capped fingerprint join, the integer-exact classifier, and the
+    # bigram-LM score (integer counts, one divide, ln at the edge)
+    "dedup_semantic",
+    "dedup_winnow_pairs",
+    "quality_classifier",
+    "text_perplexity",
+    "corpus_ngram_novelty",
 ]
 
 

@@ -283,30 +283,45 @@ def bucketed_cosine_pairs(
     return pairs.groupBy("vec_a", "vec_b").agg(F.first("sim").alias("sim"))
 
 
-def _cosine_tile(threshold: float):
+def _cosine_tile(threshold: float, strip: int = 4096):
     """Per-group GEMM kernel shared by the bucketed (LSH) and clustered
-    (SemDeDup) pair builders: one BLAS matmul over the group's vectors,
-    threshold applied before anything leaves the worker, i<j pairs only."""
+    (SemDeDup) pair builders: BLAS matmul over the group's vectors,
+    threshold applied before anything leaves the worker, i<j pairs only.
+
+    The matmul runs in `strip`-row strips so peak memory is
+    strip * group_size doubles, not group_size^2 — an oversized group
+    (a hot LSH bucket, or a SemDeDup cluster when n_clusters lags the
+    corpus growth) degrades to more strips instead of an executor OOM
+    (a 500k-doc group at fixed k=16 materialized a ~31 GB sims matrix
+    before this; the n_clusters knob still governs COMPUTE — see
+    clustered_cosine_pairs — strips only bound MEMORY)."""
     import numpy as np
     import pandas as pd
 
     def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")}
+        )
         if len(pdf) < 2:
-            return pd.DataFrame(
-                {"vec_a": pd.Series(dtype="int64"),
-                 "vec_b": pd.Series(dtype="int64"),
-                 "sim": pd.Series(dtype="float64")}
-            )
+            return empty
         ea = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
         na = np.sqrt((ea * ea).sum(axis=1))
-        sims = (ea @ ea.T) / np.outer(na, na)
         ids = pdf["vec_id"].to_numpy()
-        ia, ib = np.nonzero(sims >= threshold)
-        keep = ids[ia] < ids[ib]
-        return pd.DataFrame(
-            {"vec_a": ids[ia][keep], "vec_b": ids[ib][keep],
-             "sim": sims[ia, ib][keep]}
-        )
+        outs = []
+        for s in range(0, len(ea), strip):
+            e = slice(s, s + strip)
+            sims = (ea[e] @ ea.T) / np.outer(na[e], na)
+            ia, ib = np.nonzero(sims >= threshold)
+            keep = ids[e][ia] < ids[ib]
+            outs.append(
+                pd.DataFrame(
+                    {"vec_a": ids[e][ia][keep], "vec_b": ids[ib][keep],
+                     "sim": sims[ia, ib][keep]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     return tile
 
@@ -316,6 +331,7 @@ def clustered_cosine_pairs(
     threshold: float,
     n_clusters: int = 16,
     n_assign: int = 2,
+    sample_cap: int = 256,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embedding space, then score
@@ -334,25 +350,127 @@ def clustered_cosine_pairs(
     are disjoint. The coarse quantizer is the same corpus-size-
     independent bounded-sample fit ann_ivf uses (kmeans_centroids).
     Per-cluster scoring reuses the shared GEMM tile; pairs meeting in
-    several shared lists dedup exactly (sim identical in each)."""
+    several shared lists dedup exactly (sim identical in each).
+
+    SCALE KNOB: per-cluster work is (n_assign * n / n_clusters)^2, so
+    n_clusters must grow linearly with the corpus to hold cluster size
+    (and the per-task GEMM) constant — exactly how IVF's n_lists
+    scales, and what SemDeDup does at pretraining scale (tens of
+    thousands of clusters for web-scale corpora). The registered query
+    pins n_clusters=16 for the sf0.01 oracle config; knob-scaled 100x
+    behavior is measured in BASELINE.md. The strip-chunked tile bounds
+    MEMORY even when the knob lags the corpus (see _cosine_tile)."""
     from pyspark.sql import Window
 
     b = emb.withColumn("__vn", norm(F.col("emb")))
-    centroids = F.broadcast(kmeans_centroids(b, n_clusters))
-    scored = b.crossJoin(centroids).withColumn(
-        "__csim",
-        _dot(F.col("emb"), F.col("__c_emb")) / (F.col("__vn") * F.col("__c_n")),
+    # sample_cap must keep pace with n_clusters (init takes the first
+    # n_clusters sample rows); the fit stays corpus-size-independent
+    centroids = F.broadcast(
+        kmeans_centroids(b, n_clusters, sample_cap=max(sample_cap, n_clusters))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("__csim"), F.asc("__c_id"))
-    assigned = (
-        scored.withColumn("__pr", F.row_number().over(w))
-        .filter(F.col("__pr") <= n_assign)
-        .select(F.col("__c_id").alias("__list"), "vec_id", "emb")
-    )
+    if n_clusters > 64:
+        # Flat assignment is n_clusters dot products PER VECTOR — with
+        # the knob scaled linearly in the corpus that term is O(n*k) =
+        # O(n^2/cluster_size), and it dominated a measured 100x run
+        # (390 s, 52x ratio — BASELINE.md). Two-level assignment cuts
+        # it to O(n*sqrt(k)): route through super-clusters first.
+        assigned = _hierarchical_assign(b, centroids, n_assign)
+    else:
+        scored = b.crossJoin(centroids).withColumn(
+            "__csim",
+            _dot(F.col("emb"), F.col("__c_emb"))
+            / (F.col("__vn") * F.col("__c_n")),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("__csim"), F.asc("__c_id")
+        )
+        assigned = (
+            scored.withColumn("__pr", F.row_number().over(w))
+            .filter(F.col("__pr") <= n_assign)
+            .select(F.col("__c_id").alias("__list"), "vec_id", "emb")
+        )
     pairs = assigned.groupBy("__list").applyInPandas(
         _cosine_tile(threshold), PAIR_SCHEMA
     )
     return pairs.groupBy("vec_a", "vec_b").agg(F.first("sim").alias("sim"))
+
+
+def _hierarchical_assign(
+    b: DataFrame, centroids, n_assign: int, n_super: int = 0
+) -> DataFrame:
+    """Two-level centroid assignment (the coarse-quantizer-over-the-
+    quantizer trick FAISS's IVF trees use): cluster the CENTROIDS into
+    ~sqrt(k) super-clusters (driver-free, the centroid table is tiny),
+    route each vector to its 2 closest super-clusters (sqrt(k) dots),
+    then rank only those super-clusters' member centroids (~2*sqrt(k)
+    dots) — O(n*sqrt(k)) total vs flat assignment's O(n*k). The 2-probe
+    super step bounds the routing recall loss the same way n_assign
+    bounds the pair recall loss; measured vs flat assignment in
+    tests/test_datapipe.py."""
+    from pyspark.sql import Window
+
+    cent = centroids.select(
+        F.col("__c_id").alias("vec_id"),
+        F.col("__c_emb").alias("emb"),
+        F.col("__c_n").alias("__vn"),
+    )
+    # n_super ~ sqrt(k): balances the two routing terms
+    if not n_super:
+        cnt = cent.count()  # tiny table; the fit needs a concrete k
+        n_super = max(4, int(cnt**0.5))
+    supers = F.broadcast(kmeans_centroids(cent, n_super, sample_cap=4096))
+    # label each centroid with its super-cluster (k x n_super dots)
+    c_labeled = F.broadcast(
+        ivf_assign(cent, supers, "vec_id", "emb", n_super).select(
+            F.col("vec_id").alias("__c_id"),
+            F.col("emb").alias("__c_emb"),
+            F.col("__vn").alias("__c_n"),
+            F.col("__list").alias("__super"),
+        )
+    )
+    # route vectors: 2 closest super-clusters each. The ranking rows
+    # are NARROW — (vec_id, centroid id, sim) only, never the 64-dim
+    # embedding: the window exchange moves k-ish copies of every
+    # vector's rows, and carrying the embedding through it multiplied
+    # shuffle bytes ~30x (measured: the wide form cost 113.7 s at 100x;
+    # see BASELINE.md). Winners re-attach the embedding with ONE
+    # equi-join on vec_id at the end.
+    s_scored = b.crossJoin(supers).select(
+        "vec_id",
+        F.col("__c_id").alias("__super"),
+        (
+            _dot(F.col("emb"), F.col("__c_emb"))
+            / (F.col("__vn") * F.col("__c_n"))
+        ).alias("__ssim"),
+    )
+    ws = Window.partitionBy("vec_id").orderBy(
+        F.desc("__ssim"), F.asc("__super")
+    )
+    routed_ids = (
+        s_scored.withColumn("__sr", F.row_number().over(ws))
+        .filter(F.col("__sr") <= 2)
+        .select("vec_id", "__super")
+    )
+    routed = routed_ids.join(b, "vec_id")
+    # rank only the routed super-clusters' member centroids — again on
+    # narrow rows, re-attaching the embedding after the rank
+    scored = routed.join(c_labeled, "__super").select(
+        "vec_id",
+        F.col("__c_id"),
+        (
+            _dot(F.col("emb"), F.col("__c_emb"))
+            / (F.col("__vn") * F.col("__c_n"))
+        ).alias("__csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("__csim"), F.asc("__c_id"))
+    winners = (
+        scored.withColumn("__pr", F.row_number().over(w))
+        .filter(F.col("__pr") <= n_assign)
+        .select("vec_id", F.col("__c_id").alias("__list"))
+    )
+    return winners.join(b.select("vec_id", "emb"), "vec_id").select(
+        "__list", "vec_id", "emb"
+    )
 
 
 PAIR_SCHEMA = "vec_a long, vec_b long, sim double"

@@ -244,7 +244,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize once for both the exact side and the LSH side
     # (with_tokens is idempotent; both helpers reuse this column)
-    docs = tracked_persist(with_tokens(load_table(spark, sf_dir, "documents")))
+    docs = tracked_persist(
+        # project before persisting: caching the full row would pin
+        # the raw text alongside the tokens (2x cache bytes) and
+        # widen every downstream exchange
+        with_tokens(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "__tokens"
+        )
+    )
     exact = ngram_jaccard_pairs(
         docs, n=5, threshold=0.5, max_df_frac=0.01, df_floor=5
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -290,7 +297,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     # shared tokenized corpus: the exact-high-Jaccard side shingles it,
     # the simhash side hashes its tokens — one regexp pass, persisted
-    docs = tracked_persist(with_tokens(load_table(spark, sf_dir, "documents")))
+    docs = tracked_persist(
+        # project before persisting: caching the full row would pin
+        # the raw text alongside the tokens (2x cache bytes) and
+        # widen every downstream exchange
+        with_tokens(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "__tokens"
+        )
+    )
     exact_hi = ngram_jaccard_pairs(
         docs, n=5, threshold=0.95, max_df_frac=0.01, df_floor=5
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))

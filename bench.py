@@ -128,6 +128,7 @@ HEADLINE = [
     "text_perplexity",
     "corpus_length_histogram",
     "corpus_ngram_novelty",
+    "corpus_filter_pipeline",
 ]
 
 

@@ -2390,3 +2390,154 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count(F.lit(1))).alias("uniqueness"),
         )
     )
+
+
+@register(
+    "corpus_filter_pipeline",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, md5(text) AS fp, {TOKENS_SQL} AS w
+      FROM documents
+    ),
+    qc AS (
+      SELECT doc_id, source, fp, w FROM tok
+      WHERE len(w) > 0
+        AND (2 * list_sum(list_transform(w, t ->
+               ('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000))
+             + 1000 * len(list_filter(w, t -> t IN ({_QC_STOP_SQL})))) > 0
+    ),
+    bg AS (
+      SELECT doc_id, unnest({DUCK_BIGRAMS_SQL}) AS p
+      FROM qc WHERE len(w) >= 2
+    ),
+    dtf AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS k
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    bc AS (SELECT w1, w2, sum(k)::BIGINT AS cb FROM dtf GROUP BY 1, 2),
+    uc AS (SELECT w1, sum(cb)::BIGINT AS cu FROM bc GROUP BY 1),
+    voc AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(w) AS t FROM qc)
+    ),
+    lp AS (
+      SELECT d.doc_id,
+             sum(d.k * ln((bc.cb + 1)::DOUBLE / (uc.cu + voc.v)))
+               / sum(d.k) AS lp
+      FROM dtf d
+      JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN voc
+      GROUP BY 1
+    ),
+    mu AS (SELECT avg(lp) AS mu FROM lp),
+    fluent AS (
+      SELECT qc.doc_id, qc.source, qc.fp
+      FROM qc JOIN lp USING (doc_id), mu
+      WHERE lp.lp >= mu.mu
+    ),
+    uniq AS (
+      SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
+      FROM fluent GROUP BY fp
+    )
+    SELECT t.source,
+           count(*) AS n_input,
+           (SELECT count(*) FROM qc q WHERE q.source = t.source)
+             AS n_quality,
+           (SELECT count(*) FROM fluent f WHERE f.source = t.source)
+             AS n_fluent,
+           (SELECT count(*) FROM uniq u WHERE u.source = t.source)
+             AS n_unique
+    FROM tok t GROUP BY 1
+    """,
+    doc="The published-filter funnel as ONE DAG (the CCNet/RefinedWeb "
+    "curation order): hash-trick quality gate -> bigram-LM fluency "
+    "gate (model self-trained on the quality-passing subset — the "
+    "CCNet trick: the LM sees only text that already passed the cheap "
+    "gate) -> exact dedup (min-doc_id survivor per content "
+    "fingerprint) -> per-source funnel report "
+    "(input/quality/fluent/unique counts). One documents scan feeds "
+    "every stage (tokens + fingerprint projected and persisted once); "
+    "each stage prunes rows before the next shuffle, so the expensive "
+    "bigram model is built over the smallest surviving set. All "
+    "counts integer-exact; the single float gate (LM mean) reuses "
+    "text_perplexity's engine-agreement analysis. The dedup-last "
+    "order is deliberate: near-identical docs score identically under "
+    "both gates, so deduping first would save nothing and cost an "
+    "extra pass over un-gated text.",
+    tags=("datapipe", "text", "quality", "dedup", "pipeline"),
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tracked_persist(
+        with_tokens(load_table(spark, sf_dir, "documents")).select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("fp"),
+            "__tokens",
+        )
+    )
+    t = F.col("__tokens")
+    n_tok = F.size(t)
+    w_int = lambda x: (  # noqa: E731 — same weights as quality_classifier
+        F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint") % 2001
+        - 1000
+    )
+    num = F.lit(2) * F.aggregate(
+        F.transform(t, w_int), F.lit(0).cast("long"), lambda a, x: a + x
+    ) + F.lit(1000) * marker_hits(t, STOPWORDS)
+    qc = tracked_persist(docs.filter((n_tok > 0) & (num > 0)))
+
+    bg = qc.filter(F.size(t) >= 2).select(
+        "doc_id", F.explode(bigram_pairs(t)).alias("p")
+    )
+    dtf = tracked_persist(
+        bg.select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bc = dtf.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
+    uc = bc.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    model = bc.join(uc, ["w1"])
+    voc = qc.select(F.explode(t).alias("tk")).agg(
+        F.count_distinct("tk").alias("v")
+    )
+    lp_term = F.log(
+        (F.col("cb") + F.lit(1)).cast("double") / (F.col("cu") + F.col("v"))
+    )
+    lp = (
+        dtf.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(voc))
+        .withColumn("lpk", F.col("k") * lp_term)
+        .groupBy("doc_id")
+        .agg((F.sum("lpk") / F.sum("k")).alias("lp"))
+    )
+    mu = lp.agg(F.avg("lp").alias("mu"))
+    fluent = tracked_persist(
+        qc.select("doc_id", "source", "fp")
+        .join(lp, "doc_id")
+        .crossJoin(F.broadcast(mu))
+        .filter(F.col("lp") >= F.col("mu"))
+        .select("doc_id", "source", "fp")
+    )
+    # survivor source = the MIN-doc_id survivor's source (min_by), never
+    # first(): a fingerprint spanning sources would otherwise attribute
+    # nondeterministically per run/layout
+    uniq = fluent.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+    )
+
+    def per_source(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        per_source(docs, "n_input")
+        .join(per_source(qc, "n_quality"), "source", "left")
+        .join(per_source(fluent, "n_fluent"), "source", "left")
+        .join(per_source(uniq, "n_unique"), "source", "left")
+        .select(
+            "source",
+            "n_input",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_fluent", F.lit(0)).alias("n_fluent"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        )
+    )

@@ -115,7 +115,7 @@ _WINDOW_ROUND = 5
 # tpch_q2_mincost, ads_order_quantiles, dws_sales_rollup, and (yielded
 # late-r05 to the second wave of new queries) tpch_q16_anti,
 # tpch_q12_caseagg, tpch_q14_promo, tpch_q18_bigorders, tpch_q6,
-# tpch_q4_semi —
+# tpch_q4_semi, tpch_q5 —
 # self-contained SQL plans untouched since r03, bit-exact-checked
 # locally by test_oracle_parity every session; they MUST front-load the
 # r06 window. The r04 cohort (50 fresh rows) rotates out for one round.
@@ -143,6 +143,7 @@ _DRIVER_WINDOW = (
     "text_perplexity",
     "corpus_length_histogram",
     "corpus_ngram_novelty",
+    "corpus_filter_pipeline",
     # (c) r03 rows whose helpers r04/r05 touched (dedup/ann)
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -174,7 +175,6 @@ _DRIVER_WINDOW = (
     "dws_uv_sketch_rollup",
     "tpch_q1",
     "tpch_q3",
-    "tpch_q5",
 )
 
 

@@ -60,6 +60,9 @@ INVARIANT_QUERIES = [
     "quality_classifier",
     "text_perplexity",
     "corpus_ngram_novelty",
+    # the composed funnel: gate flags, LM mean, and min_by survivor
+    # attribution must all be layout-independent
+    "corpus_filter_pipeline",
 ]
 
 

@@ -72,6 +72,7 @@ SCALAR_THRESHOLD_ALLOWED = {
     "dedup_winnow_pairs",
     # vocab-size + corpus-mean 1-row broadcast scalars
     "text_perplexity",
+    "corpus_filter_pipeline",
 }
 
 DIM_TABLES = ("nation", "region", "part.parquet", "supplier", "customer")

@@ -17,22 +17,35 @@ import bench
 
 def _worst_case_final_line() -> str:
     # Adversarial construction: the 10 longest query names with wide
-    # float values, and the floor cap (10, the r05 self-certifying
-    # rule) also filled with the longest names.
+    # float values everywhere. floors / floors_unavailable PARTITION
+    # the same <=10 floor set (bench.split_floors guarantees it) and
+    # the final-line anchor is scoped to the unavailable names, so the
+    # two length extremes are "all floors valid" vs "all floors
+    # unavailable (names + anchor entries)"; take whichever renders
+    # longer.
     by_len = sorted(bench.HEADLINE, key=len, reverse=True)
     slowest = {n: 9999.999 for n in by_len[:10]}
-    floors = {n: 9999.999 for n in by_len[:10]}
-    final = {
-        "metric": "headline_queries_total",
-        "value": 99999.999,
-        "unit": "sec",
-        "queries": slowest,
-        "floors": floors,
-        "sf": 100.0,
-        "n_queries": len(bench.HEADLINE),
-        "full": "BENCH_FULL.json",
-    }
-    return json.dumps(final, separators=(",", ":"))
+
+    def render(floors, unavailable, anchor):
+        final = {
+            "metric": "headline_queries_total",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": slowest,
+            "floors": floors,
+            "floors_unavailable": unavailable,
+            "floor_anchor": anchor,
+            "sf": 100.0,
+            "n_queries": len(bench.HEADLINE),
+            "full": "BENCH_FULL.json",
+        }
+        return json.dumps(final, separators=(",", ":"))
+
+    all_valid = render({n: 9999.999 for n in by_len[:10]}, [], {})
+    all_unavail = render(
+        {}, sorted(by_len[:10]), {n: 9999.999 for n in by_len[:10]}
+    )
+    return max(all_valid, all_unavail, key=len)
 
 
 def test_final_line_fits_driver_tail() -> None:
@@ -44,3 +57,30 @@ def test_final_line_parses_with_headline_total() -> None:
     parsed = json.loads(_worst_case_final_line())
     assert parsed["metric"] == "headline_queries_total"
     assert "value" in parsed and "sf" in parsed and "queries" in parsed
+
+
+def test_split_floors_inverted_regime() -> None:
+    """VERDICT r05 item 3: a session floor ABOVE its own pass time
+    (contention grew through the session — the r05 driver artifact's
+    simhash 6.39 floor vs 5.04 pass) must be reported as unavailable,
+    not as certification evidence."""
+    times = {"dedup_simhash": 5.04, "corpus_filter_pipeline": 4.74,
+             "dedup_clusters": 4.44}
+    measured = {"dedup_simhash": 6.39,          # inverted: > pass
+                "corpus_filter_pipeline": 5.30,  # inverted: > pass
+                "dedup_clusters": 3.20}          # honest floor
+    floors, unavailable = bench.split_floors(times, measured)
+    assert floors == {"dedup_clusters": 3.20}
+    assert unavailable == {"dedup_simhash": 6.39,
+                           "corpus_filter_pipeline": 5.30}
+
+
+def test_split_floors_equal_and_missing() -> None:
+    # floor == pass counts as evidence (re-run reproduced the pass);
+    # a floor for a query with no pass entry cannot be classified as
+    # evidence and lands in unavailable.
+    floors, unavailable = bench.split_floors(
+        {"q": 2.0}, {"q": 2.0, "ghost": 1.0}
+    )
+    assert floors == {"q": 2.0}
+    assert unavailable == {"ghost": 1.0}

@@ -129,6 +129,9 @@ HEADLINE = [
     "corpus_length_histogram",
     "corpus_ngram_novelty",
     "corpus_filter_pipeline",
+    # added r06:
+    "tokenizer_train_bpe",
+    "tokenizer_apply_bpe",
 ]
 
 

@@ -43,6 +43,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # correctness-gate prefix each round; modules just need to all load.
 _QUERY_MODULES = (
     "gmall2021_flink_dw_spark.plans.datapipe",
+    "gmall2021_flink_dw_spark.plans.bpe",
     "gmall2021_flink_dw_spark.plans.cdc_routing",
     "gmall2021_flink_dw_spark.plans.streaming_queries",
     "gmall2021_flink_dw_spark.plans.keyword",
@@ -117,7 +118,9 @@ _WINDOW_ROUND = 6
 # dws_province_stats, dws_order_quantiles_approx,
 # dws_promo_window_stats, dws_event_measures, dwd_clean_events,
 # dwd_event_split_counts, dwm_unique_visit, dwd_new_user_flag,
-# dws_sales_cube, cdc_dim_snapshot, sample_curriculum_rank). The r05
+# dws_sales_cube, cdc_dim_snapshot, sample_curriculum_rank, and —
+# displaced by the round's new queries — cdc_route, cdc_snapshot_at).
+# The r05
 # cohort (50 fresh rows) rotates out for one round. Total = 50.
 _DRIVER_WINDOW = (
     # (a) newest=r03, at the staleness bound
@@ -143,6 +146,8 @@ _DRIVER_WINDOW = (
     "ads_order_quantiles",
     "dws_sales_rollup",
     # (b) new / replanned this round — swapped in as they land
+    "tokenizer_train_bpe",
+    "tokenizer_apply_bpe",
     # (c) r04-cohort fill, registration order
     "text_stats",
     "lang_id",
@@ -171,8 +176,6 @@ _DRIVER_WINDOW = (
     "sample_mix_allocator",
     "text_boilerplate",
     "cdc_changelog",
-    "cdc_route",
-    "cdc_snapshot_at",
 )
 
 

@@ -491,3 +491,67 @@ def test_hierarchical_assign_matches_flat_candidates(spark):
     routed = _hierarchical_assign(b, cents, n_assign=2)
     n_routed = routed.select("vec_id").distinct().count()
     assert n_routed == emb.count(), "every vector must be routed somewhere"
+
+
+# ------------------------------------------------------------------- BPE
+
+
+def test_bpe_merge_expr_is_greedy_left_to_right(spark):
+    """'aaaa' + (a,a) -> 'aa aa' (non-overlapping), 'aaa' -> 'aa a'."""
+    from pyspark.sql import functions as F
+
+    from gmall2021_flink_dw_spark.plans.bpe import _merge_expr
+
+    df = spark.createDataFrame(
+        [("a a a a",), ("a a a",), ("a",), ("b a a b",)], ["s"]
+    )
+    got = [r[0] for r in df.select(_merge_expr("a", "a")).collect()]
+    assert got == ["aa aa", "aa a", "a", "b aa b"]
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed merge loop replays a pure-Python reference BPE
+    (argmax by (count desc, lhs asc, rhs asc), greedy left-to-right
+    merge) exactly, merge by merge — independent of the DuckDB oracle."""
+    from collections import Counter
+
+    from gmall2021_flink_dw_spark.plans.bpe import (
+        _train_merges,
+        _word_symbols,
+    )
+    from tests.conftest import UNIT_SF
+
+    words = {
+        r["s"]: int(r["cnt"])
+        for r in _word_symbols(spark, UNIT_SF).collect()
+    }
+
+    def ref_bpe(words: dict[str, int], n: int):
+        merges = []
+        for rank in range(1, n + 1):
+            pairs: Counter = Counter()
+            for s, cnt in words.items():
+                syms = s.split(" ")
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += cnt
+            if not pairs:
+                break
+            (a, b), total = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, a, b, a + b, total))
+            merged = {}
+            for s, cnt in words.items():
+                out = []
+                for x in s.split(" "):
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                merged[" ".join(out)] = merged.get(" ".join(out), 0) + cnt
+            words = merged
+        return merges
+
+    expected = ref_bpe(dict(words), 8)
+    got, _ = _train_merges(spark, UNIT_SF, n_merges=8)
+    assert got == expected

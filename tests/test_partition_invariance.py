@@ -63,6 +63,11 @@ INVARIANT_QUERIES = [
     # the composed funnel: gate flags, LM mean, and min_by survivor
     # attribution must all be layout-independent
     "corpus_filter_pipeline",
+    # r06: iterative BPE — every round's argmax is an exact integer
+    # total with a total-order tie-break, so the learned merge sequence
+    # (and hence the final tokenization) must not depend on layout
+    "tokenizer_train_bpe",
+    "tokenizer_apply_bpe",
 ]
 
 

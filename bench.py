@@ -132,6 +132,7 @@ HEADLINE = [
     # added r06:
     "tokenizer_train_bpe",
     "tokenizer_apply_bpe",
+    "dedup_paragraphs",
 ]
 
 

@@ -2541,3 +2541,77 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
         )
     )
+
+
+_PARA = 12  # tokens per "paragraph" (see dedup_paragraphs doc)
+
+
+@register(
+    "dedup_paragraphs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_SQL} AS w FROM documents
+      WHERE len({TOKENS_SQL}) >= {_PARA}
+    ), paras AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(w[i*{_PARA}+1 : i*{_PARA}+{_PARA}], ' ') AS para
+      FROM t, unnest(range(cast(len(w) // {_PARA} AS BIGINT))) AS u(i)
+    ), flagged AS (
+      SELECT doc_id, idx, para,
+             row_number() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, idx) AS rn
+      FROM paras
+    )
+    SELECT doc_id,
+           count(*) AS n_paras,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
+                               ORDER BY idx), '') AS new_text
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="PARAGRAPH-level dedup with per-doc reassembly (VERDICT r05 "
+    "item 6): the published pipelines (CCNet, RefinedWeb) dedup at "
+    "paragraph/line granularity BEFORE document granularity. The "
+    "synthetic corpus has no newline structure, so the paragraph grain "
+    "here is a fixed 12-token window (the operator is delimiter-"
+    "agnostic — swap the chunker for split(text, '\\n\\n') on a real "
+    "corpus and nothing else changes). First occurrence wins, globally "
+    "and deterministically: row_number over the paragraph hash ordered "
+    "by (doc_id, idx); every doc is then reassembled from its "
+    "surviving paragraphs in original order (collect_list of "
+    "(idx, para) structs, array_sort, join — null-dropping collect "
+    "does the filtering). ONE documents scan; exactly two shuffles, "
+    "both unavoidable at any scale: by paragraph hash (the dedup "
+    "grain), then by doc_id (the reassembly grain). No pairwise work "
+    "anywhere — cost is linear in corpus paragraphs, the same plan "
+    "CCNet runs at web scale.",
+    tags=("datapipe", "dedup", "text"),
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    t = docs.filter(F.size("__tokens") >= _PARA).select("doc_id", "__tokens")
+    n = F.floor(F.size("__tokens") / _PARA).cast("int")
+    para_at = lambda i: F.array_join(  # noqa: E731
+        F.slice("__tokens", i * _PARA + 1, _PARA), " "
+    )
+    paras = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n - 1), para_at)
+        ).alias("idx", "para"),
+    )
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "idx")
+    flagged = paras.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("idx", "para"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum((F.col("rn") == 1).cast("int")).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda x: x["para"]
+            ),
+            " ",
+        ).alias("new_text"),
+    )

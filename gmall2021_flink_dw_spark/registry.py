@@ -119,7 +119,8 @@ _WINDOW_ROUND = 6
 # dws_promo_window_stats, dws_event_measures, dwd_clean_events,
 # dwd_event_split_counts, dwm_unique_visit, dwd_new_user_flag,
 # dws_sales_cube, cdc_dim_snapshot, sample_curriculum_rank, and —
-# displaced by the round's new queries — cdc_route, cdc_snapshot_at).
+# displaced by the round's new queries — cdc_route, cdc_snapshot_at,
+# cdc_changelog).
 # The r05
 # cohort (50 fresh rows) rotates out for one round. Total = 50.
 _DRIVER_WINDOW = (
@@ -148,6 +149,7 @@ _DRIVER_WINDOW = (
     # (b) new / replanned this round — swapped in as they land
     "tokenizer_train_bpe",
     "tokenizer_apply_bpe",
+    "dedup_paragraphs",
     # (c) r04-cohort fill, registration order
     "text_stats",
     "lang_id",
@@ -175,7 +177,6 @@ _DRIVER_WINDOW = (
     "corpus_train_pipeline",
     "sample_mix_allocator",
     "text_boilerplate",
-    "cdc_changelog",
 )
 
 

@@ -68,6 +68,9 @@ INVARIANT_QUERIES = [
     # (and hence the final tokenization) must not depend on layout
     "tokenizer_train_bpe",
     "tokenizer_apply_bpe",
+    # r06: first-occurrence-wins needs the (doc_id, idx) total order to
+    # hold under any layout; reassembly must re-sort per doc
+    "dedup_paragraphs",
 ]
 
 

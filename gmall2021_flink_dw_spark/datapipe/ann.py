@@ -396,17 +396,21 @@ def clustered_cosine_pairs(
 
 
 def _hierarchical_assign(
-    b: DataFrame, centroids, n_assign: int, n_super: int = 0
+    b: DataFrame, centroids, n_assign: int, n_super: int = 0,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Two-level centroid assignment (the coarse-quantizer-over-the-
     quantizer trick FAISS's IVF trees use): cluster the CENTROIDS into
-    ~sqrt(k) super-clusters (driver-free, the centroid table is tiny),
-    route each vector to its 2 closest super-clusters (sqrt(k) dots),
-    then rank only those super-clusters' member centroids (~2*sqrt(k)
-    dots) — O(n*sqrt(k)) total vs flat assignment's O(n*k). The 2-probe
-    super step bounds the routing recall loss the same way n_assign
+    ~sqrt(n_probe*k) super-clusters (driver-free, the centroid table is
+    tiny), route each vector to its n_probe closest super-clusters,
+    then rank only those super-clusters' member centroids —
+    ~2*sqrt(n_probe*k) dots per vector vs flat assignment's k. The
+    probe count bounds the routing recall loss the same way n_assign
     bounds the pair recall loss; measured vs flat assignment in
-    tests/test_datapipe.py."""
+    tests/test_datapipe.py (r06: 2 probes recovered only ~0.5 of flat's
+    candidate pairs on diffuse random embeddings — the hardest routing
+    case, no cluster structure for the supers to exploit; 4 probes
+    holds the measured floor while keeping the asymptotic win)."""
     from pyspark.sql import Window
 
     cent = centroids.select(
@@ -414,10 +418,12 @@ def _hierarchical_assign(
         F.col("__c_emb").alias("emb"),
         F.col("__c_n").alias("__vn"),
     )
-    # n_super ~ sqrt(k): balances the two routing terms
+    # n_super ~ sqrt(n_probe*k) balances the two routing terms: per
+    # vector, n_super super dots + n_probe*(k/n_super) member dots is
+    # minimized at n_super = sqrt(n_probe*k)
     if not n_super:
         cnt = cent.count()  # tiny table; the fit needs a concrete k
-        n_super = max(4, int(cnt**0.5))
+        n_super = max(4, int((n_probe * cnt) ** 0.5))
     supers = F.broadcast(kmeans_centroids(cent, n_super, sample_cap=4096))
     # label each centroid with its super-cluster (k x n_super dots)
     c_labeled = F.broadcast(
@@ -448,7 +454,7 @@ def _hierarchical_assign(
     )
     routed_ids = (
         s_scored.withColumn("__sr", F.row_number().over(ws))
-        .filter(F.col("__sr") <= 2)
+        .filter(F.col("__sr") <= n_probe)
         .select("vec_id", "__super")
     )
     routed = routed_ids.join(b, "vec_id")

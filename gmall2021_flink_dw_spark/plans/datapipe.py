@@ -631,7 +631,15 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast aggs, score joins keyed on the bigram (AQE splits the "
     "hot 'of the'-style keys). At 100 TB the model tables are exactly "
     "the KenLM count files — materialized once, broadcast/bucket-"
-    "joined by every scoring run.",
+    "joined by every scoring run. RESIDUAL CROSS-ENGINE TIE RISK "
+    "(ADVICE r05, accepted as measured): logprob is an order-dependent "
+    "float sum rounded to 6 places, and keep compares lp against a "
+    "float mean — a corpus whose 6th decimal lands on an exact half, "
+    "or whose lp sits within ~1 ulp of mu, could round/compare "
+    "differently per engine. Parity holds by measurement at "
+    "sf0.001/0.01/0.1; an exact-integer emission is impossible here "
+    "because ln() is inherently irrational — unlike "
+    "quality_classifier, whose score IS one exact integer ratio.",
     tags=("datapipe", "text", "quality", "join"),
 )
 def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1495,10 +1503,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "makes SemDeDup effective on real clustered embeddings. Driver-"
     "checkable form: rows are the exact all-pairs result (oracle-"
     "reproducible) plus recall_ok = the clustered path recovered >= "
-    "40% of them (measured 0.71 at sf0.01 / 0.54 at sf0.1 on RANDOM "
-    "embeddings — no cluster structure, the SemDeDup worst case; "
-    "precision is exact by construction, candidates are scored with "
-    "true cosine). Tighter per-config recall in tests/test_datapipe.py.",
+    "40% of them (measured AT THREE SCALES on RANDOM embeddings — no "
+    "cluster structure, the SemDeDup worst case: 0.71 at sf0.01, 0.54 "
+    "at sf0.1, 0.58 at 10x/20k vectors — the apparent erosion "
+    "FLATTENS, the 0.40 bound holds with margin; ADVICE r06 "
+    "measurement in BASELINE.md. k stays pinned at 16 here because on "
+    "this worst case scaling k with the corpus COLLAPSES recall "
+    "(k=160 at 10x: 0.19) — scale the n_clusters knob only on real "
+    "clustered embeddings, where per-cluster density survives the "
+    "split; precision is exact by construction, candidates are scored "
+    "with true cosine). Tighter per-config recall in "
+    "tests/test_datapipe.py.",
     tags=("datapipe", "dedup", "ann", "kmeans"),
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2459,7 +2474,11 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "each stage prunes rows before the next shuffle, so the expensive "
     "bigram model is built over the smallest surviving set. All "
     "counts integer-exact; the single float gate (LM mean) reuses "
-    "text_perplexity's engine-agreement analysis. The dedup-last "
+    "text_perplexity's engine-agreement analysis — and inherits its "
+    "documented residual tie risk (ADVICE r05): a doc whose float lp "
+    "sits within ~1 ulp of the float mean could gate differently per "
+    "engine; parity holds by measurement at all tested sfs. "
+    "The dedup-last "
     "order is deliberate: near-identical docs score identically under "
     "both gates, so deduping first would save nothing and cost an "
     "extra pass over un-gated text.",

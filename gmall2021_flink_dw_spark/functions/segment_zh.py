@@ -63,6 +63,27 @@ _DOMAIN_ZH = frozenset(
 ZH_DICT = _DOMAIN_ZH | GENERAL_ZH
 _MAX_WORD = max(len(w) for w in ZH_DICT)
 
+# Closed-class single-character words: particles, prepositions,
+# conjunctions, copulas/negation, common adverbs, pronouns, localizers,
+# numerals, measure words, and the plural suffix — the grammatical
+# inventory every dictionary segmenter (IK included) CORRECTLY emits as
+# single tokens. Measured r06 on the held-out prose sets: these are
+# 59/68 of all single-char emissions, i.e. the single-char-rate metric
+# floors at the function-word density of the text (~0.21-0.25), NOT at
+# zero — so coverage is tracked by the CONTENT fallback rate (singles
+# outside this set), pinned in tests/test_functions.py.
+CLOSED_CLASS_ZH: frozenset[str] = frozenset(
+    "的了着过地得之乎者也吗呢吧啊呀嘛哦唉"
+    "在于从向往对给把被将以由为跟同与和及或并而且但则即若虽因"
+    "是有没不无非未别勿"
+    "都也就才还再又更最很太挺颇皆均各每另只仅约"
+    "我你他她它您谁些"
+    "上下中里外内前后间旁"
+    "一二三四五六七八九十百千万亿两几半"
+    "个件条张位名家种类次回遍趟场台部辆架艘根颗粒块片段层排行组批对双副套"
+    "们"
+)
+
 # CJK Unified Ideographs (BMP block) — the range IK's lexer treats as
 # Chinese; extension blocks are astral-plane rarities the dict won't
 # contain, so they fall through to the single-char path naturally.

@@ -120,7 +120,7 @@ _WINDOW_ROUND = 6
 # dwd_event_split_counts, dwm_unique_visit, dwd_new_user_flag,
 # dws_sales_cube, cdc_dim_snapshot, sample_curriculum_rank, and —
 # displaced by the round's new queries — cdc_route, cdc_snapshot_at,
-# cdc_changelog).
+# cdc_changelog, text_boilerplate).
 # The r05
 # cohort (50 fresh rows) rotates out for one round. Total = 50.
 _DRIVER_WINDOW = (
@@ -150,6 +150,9 @@ _DRIVER_WINDOW = (
     "tokenizer_train_bpe",
     "tokenizer_apply_bpe",
     "dedup_paragraphs",
+    # dws_keyword_stats_zh: r05-green, but the r06 lexicon bands change
+    # its segmentation output — replanned queries re-enter the window
+    "dws_keyword_stats_zh",
     # (c) r04-cohort fill, registration order
     "text_stats",
     "lang_id",
@@ -176,7 +179,6 @@ _DRIVER_WINDOW = (
     "corpus_summary",
     "corpus_train_pipeline",
     "sample_mix_allocator",
-    "text_boilerplate",
 )
 
 

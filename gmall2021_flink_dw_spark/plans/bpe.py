@@ -7,31 +7,32 @@ corpus with the learned merges. The reference has no tokenizer-training
 surface (its text path is IKAnalyzer segmentation for keyword stats,
 KeywordUtil.java:13-35); this extends the repo's LLM-datapipe family.
 
-Algorithm (classic corpus BPE, expressed Spark-first):
-- Pre-tokenize once into a DISTINCT-word frequency table — the working
-  set is vocabulary-bounded (Heaps' law: ~unique words, not corpus
-  size), so the per-round work is tiny relative to the corpus no matter
-  the scale factor. One shuffle, map-side combined.
-- Each round: explode adjacent symbol pairs (weighted by word count),
-  two-phase aggregate to the single most-frequent pair (ties broken by
-  pair text ascending — with a ' ' separator that sorts below [a-z],
-  string order == (lhs, rhs) tuple order), then rewrite every word's
-  symbol string with a greedy left-to-right fold (SQL `aggregate`
-  higher-order function, JVM codegen — no Python row path).
-- The per-round argmax is collected as a ONE-ROW driver scalar: each
-  round's input depends on the previous round's winner, so the scalar
-  is inherent to the fixpoint-style loop (same accepted class as
-  connected-components' convergence flag, datapipe/dedup.py). Keeping
-  the winner lazy instead (crossJoin per round) doubles the logical
-  plan per round — exponential plan growth by round 20.
-- Lineage is cut with a tracked persist every few rounds so round k
-  recomputes O(words) from the nearest persist, not O(k * words).
+Algorithm (classic corpus BPE, the standard industrial layout):
+- Pre-tokenize once, DISTRIBUTED, into a DISTINCT-word frequency
+  table — the only corpus-sized pass (one shuffle, map-side combined).
+  The result is vocabulary-bounded (Heaps' law: ~unique words, not
+  corpus size — millions of rows at web scale, a few hundred MB).
+- Collect that word table to the driver ONCE and run the merge loop
+  driver-local with an incremental pair-count index + lazy-deletion
+  heap: each round pops the most-frequent pair (ties broken by pair
+  text ascending — with a ' ' separator that sorts below [a-z], string
+  order == (lhs, rhs) tuple order), then rewrites ONLY the words that
+  contain the winning pair and re-counts only their pairs.
+- This replaces the r06 design (one distributed pair-count job + 1-row
+  argmax collect PER merge), whose wall-clock was job-count-bounded:
+  fine at N=20, but a real tokenizer is 30k-100k merges and 10^5
+  sequential Spark jobs is a scheduler-latency killer independent of
+  data size (VERDICT r06 "What's wrong" #1). Driver-local rounds are
+  microseconds each; the measured n_merges=512 run is merge-bounded
+  (see BASELINE.md "r07: BPE merge-count scaling").
 
-100 TB design: the corpus-sized work is exactly one pre-tokenization
-pass; every round after that runs on the distinct-word table (millions
-of rows at web scale — a per-round shuffle of a few MB after map-side
-combine). This is the textbook distributed-BPE layout; merge apply is
-a narrow per-row fold with no shuffle at all.
+100 TB design: the corpus-sized work is exactly one distributed
+pre-tokenization pass; the collected working set is bounded by VOCAB
+size, not corpus size, so the driver loop's memory and time are flat
+as data grows. Applying the learned merges back to the corpus needs no
+corpus rescan either: the final symbol state of the word table IS the
+tokenization of every distinct word, so corpus token totals come from
+re-parallelizing the vocab-bounded table and weighting by word count.
 
 Cross-engine determinism: symbols are always [a-z]+ (pre-tokenization
 keeps 1-16 char lowercase words), the separator is a single space, all
@@ -43,15 +44,26 @@ bit-identical by construction.
 
 from __future__ import annotations
 
+import heapq
+from collections import defaultdict
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gmall2021_flink_dw_spark.cache import tracked_persist
 from gmall2021_flink_dw_spark.registry import register
 from gmall2021_flink_dw_spark.sources.batch import load_table
 
 N_MERGES = 20
-_PERSIST_EVERY = 4
+
+# Memoized training results per (sf_dir, n_merges) (ADVICE r06 #1):
+# tokenizer_apply_bpe reuses the merges + final word table learned by
+# tokenizer_train_bpe instead of re-running the loop. The cache holds
+# only plain Python lists (never session-bound DataFrames), so it is
+# safe across SparkSessions; training is deterministic per input dir.
+_TRAIN_CACHE: dict[
+    tuple[str, int],
+    tuple[list[tuple[int, str, str, str, int]], list[tuple[str, int]]],
+] = {}
 
 # ---------------------------------------------------------------- Spark side
 
@@ -68,22 +80,6 @@ def _word_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pair_counts(words: DataFrame) -> DataFrame:
-    """Adjacent-symbol pair totals, two-phase (explode is map-side)."""
-    pairs = words.select(
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(s, ' ')) < 2 THEN array() "
-                "ELSE transform(sequence(1, size(split(s, ' ')) - 1), "
-                "i -> concat(element_at(split(s, ' '), i), ' ', "
-                "element_at(split(s, ' '), i + 1))) END"
-            )
-        ).alias("pair"),
-        "cnt",
-    )
-    return pairs.groupBy("pair").agg(F.sum("cnt").alias("total"))
-
-
 def _merge_expr(lhs: str, rhs: str) -> F.Column:
     """Greedy left-to-right merge of adjacent (lhs, rhs) in s.
 
@@ -93,8 +89,19 @@ def _merge_expr(lhs: str, rhs: str) -> F.Column:
     never re-match lhs as a suffix boundary within the same pass, which
     is exactly BPE's non-overlapping greedy semantics ('aaaa' + (a,a)
     -> 'aa aa', not 'aa a a').
+
+    This is the distributed single-merge rewrite primitive (the
+    per-row JVM-codegen form a corpus-side apply would chain); the
+    driver-local trainer uses `_greedy_merge`, unit-tested to agree
+    with this expression symbol-for-symbol.
     """
-    # lhs/rhs are [a-z]+ driver scalars from the previous round's argmax
+    # The interpolation below is safe ONLY because symbols are [a-z]+
+    # (pre-tokenization keeps 1-16 char lowercase words). Make the
+    # invariant local and loud (ADVICE r06 #2): a future charset
+    # widening must fail here, not become a SQL parse/injection hazard.
+    for sym in (lhs, rhs):
+        if not (sym.isascii() and sym.isalpha() and sym.islower()):
+            raise ValueError(f"BPE symbol escaped [a-z]+: {sym!r}")
     return F.expr(
         "aggregate(slice(split(s, ' '), 2, size(split(s, ' ')) - 1), "
         "element_at(split(s, ' '), 1), "
@@ -104,28 +111,118 @@ def _merge_expr(lhs: str, rhs: str) -> F.Column:
     )
 
 
-def _train_merges(
-    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
-) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
-    """Run the merge loop; return (merge table rows, final word table)."""
-    words = tracked_persist(_word_symbols(spark, sf_dir))
+def _greedy_merge(w: list[str], lhs: str, rhs: str) -> list[str]:
+    """Driver-local twin of `_merge_expr`: greedy left-to-right,
+    non-overlapping ('aaaa' + (a,a) -> ['aa','aa'])."""
+    out: list[str] = []
+    i, n = 0, len(w)
+    while i < n:
+        if i + 1 < n and w[i] == lhs and w[i + 1] == rhs:
+            out.append(lhs + rhs)
+            i += 2
+        else:
+            out.append(w[i])
+            i += 1
+    return out
+
+
+def _train_merges_local(
+    word_rows: list[tuple[str, int]], n_merges: int
+) -> tuple[list[tuple[int, str, str, str, int]], list[tuple[str, int]]]:
+    """Driver-local incremental merge loop over a collected word table.
+
+    Pure function of (word_rows, n_merges) — no Spark. Split out so the
+    merge-count scaling measurement (tools/measure_bpe_merges.py) runs
+    the EXACT production loop on a synthetic realistic vocabulary.
+    Returns (merge table rows, final word table rows as (s, cnt)).
+    """
+    syms: list[list[str]] = [s.split(" ") for s, _ in word_rows]
+    cnts: list[int] = [int(c) for _, c in word_rows]
+
+    # pair -> exact weighted occurrence total; pair -> words containing it
+    pair_total: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, w in enumerate(syms):
+        c = cnts[i]
+        for p in zip(w, w[1:]):
+            pair_total[p] += c
+            pair_words[p].add(i)
+
+    # Lazy-deletion heap keyed (-total, "lhs rhs"): an entry is valid
+    # only if its total still equals pair_total[pair]; stale entries
+    # (superseded by later pushes) are popped and dropped. Every total
+    # change pushes a fresh entry, so the current argmax is always
+    # present. O(log P) per touched pair instead of an O(P) scan per
+    # round — the difference between 20 merges and 100k merges.
+    heap: list[tuple[int, str]] = [
+        (-t, a + " " + b) for (a, b), t in pair_total.items()
+    ]
+    heapq.heapify(heap)
+
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        top = (
-            _pair_counts(words)
-            .orderBy(F.col("total").desc(), "pair")
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        best: tuple[str, str] | None = None
+        total = 0
+        while heap:
+            neg_t, pair_s = heapq.heappop(heap)
+            lhs, _, rhs = pair_s.partition(" ")
+            if pair_total.get((lhs, rhs), 0) == -neg_t and neg_t < 0:
+                best, total = (lhs, rhs), -neg_t
+                break
+        if best is None:
             break
-        pair, total = top[0]["pair"], int(top[0]["total"])
-        lhs, rhs = pair.split(" ")
+        lhs, rhs = best
         merges.append((rank, lhs, rhs, lhs + rhs, total))
-        words = words.select(_merge_expr(lhs, rhs).alias("s"), "cnt")
-        if rank % _PERSIST_EVERY == 0:
-            words = tracked_persist(words)
-    return merges, words
+
+        touched: set[tuple[str, str]] = set()
+        for i in sorted(pair_words[best]):
+            w, c = syms[i], cnts[i]
+            old_pairs = list(zip(w, w[1:]))
+            if best not in old_pairs:  # stale index entry
+                continue
+            for p in old_pairs:
+                pair_total[p] -= c
+                touched.add(p)
+            for p in set(old_pairs):
+                pair_words[p].discard(i)
+            w2 = _greedy_merge(w, lhs, rhs)
+            syms[i] = w2
+            for p in zip(w2, w2[1:]):
+                pair_total[p] += c
+                touched.add(p)
+                pair_words[p].add(i)
+        for a, b in touched:
+            t = pair_total[(a, b)]
+            if t > 0:
+                heapq.heappush(heap, (-t, a + " " + b))
+            else:
+                pair_total.pop((a, b), None)
+                pair_words.pop((a, b), None)
+
+    final_words = [(" ".join(w), c) for w, c in zip(syms, cnts)]
+    return merges, final_words
+
+
+def _train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> tuple[list[tuple[int, str, str, str, int]], list[tuple[str, int]]]:
+    """One distributed pre-tokenization pass, then the driver-local
+    incremental merge loop (see module docstring for why).
+
+    Bit-identical to the r06 per-merge-Spark-job form: same argmax
+    order (total desc, pair string asc — string order == tuple order
+    given the sub-alphabet ' ' separator), same greedy rewrite.
+    """
+    key = (sf_dir, n_merges)
+    if key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
+    word_rows = [
+        (r["s"], int(r["cnt"]))
+        for r in _word_symbols(spark, sf_dir).collect()
+    ]
+    result = _train_merges_local(word_rows, n_merges)
+    _TRAIN_CACHE[key] = result
+    return result
 
 
 # --------------------------------------------------------------- oracle side
@@ -209,12 +306,13 @@ _APPLY_ORACLE = (
     doc="Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): "
     f"{N_MERGES} most-frequent-pair merges learned over the documents "
     "corpus. Corpus-sized work is one pre-tokenization shuffle into a "
-    "vocabulary-bounded distinct-word table; each round is a tiny "
-    "two-phase pair count + a narrow greedy-fold rewrite, with the "
-    "per-round argmax as a 1-row driver scalar (inherent to the "
-    "iterative fixpoint, like connected components). The oracle replays "
-    "the identical argmax + greedy fold as an unrolled 20-stage CTE "
-    "chain, so the learned merge sequence matches bit-exactly.",
+    "vocabulary-bounded distinct-word table, collected ONCE; the merge "
+    "loop is driver-local with an incremental pair index + lazy heap, "
+    "so wall-clock is merge-bounded, not Spark-job-count-bounded — the "
+    "layout that survives a realistic 30k-100k merge vocabulary "
+    "(VERDICT r06 item 2). The oracle replays the identical argmax + "
+    "greedy fold as an unrolled 20-stage CTE chain, so the learned "
+    "merge sequence matches bit-exactly.",
     tags=("datapipe", "text", "tokenizer", "iterative"),
 )
 def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,14 +328,16 @@ def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_APPLY_ORACLE,
     doc="Apply the learned BPE merges to the corpus: the final symbol "
     "state of the distinct-word table IS the tokenization of every "
-    "word, so apply explodes it weighted by word frequency — top-40 "
-    "BPE tokens by total occurrences (TakeOrderedAndProject, no global "
-    "sort). Merge application is a per-row fold with zero shuffles "
-    "beyond the shared pre-tokenization.",
+    "word, so apply re-parallelizes the vocab-bounded table (reused "
+    "from the memoized trainer — ADVICE r06 #1) and explodes it "
+    "weighted by word frequency — top-40 BPE tokens by total "
+    "occurrences (TakeOrderedAndProject, no global sort). No corpus "
+    "rescan: token totals need only (word tokenization x word count).",
     tags=("datapipe", "text", "tokenizer", "topn"),
 )
 def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, words = _train_merges(spark, sf_dir)
+    _, final_words = _train_merges(spark, sf_dir)
+    words = spark.createDataFrame(final_words, "s string, cnt bigint")
     toks = words.select(
         F.explode(F.split("s", " ")).alias("token"), "cnt"
     )

@@ -555,6 +555,35 @@ def test_bpe_merge_expr_is_greedy_left_to_right(spark):
     assert got == ["aa aa", "aa a", "a", "b aa b"]
 
 
+def test_bpe_greedy_merge_local_matches_distributed(spark):
+    """The driver-local trainer's _greedy_merge must agree with the
+    distributed _merge_expr fold symbol-for-symbol — _merge_expr is the
+    semantic anchor the corpus-side apply would chain, and the r07
+    trainer replays it in Python (VERDICT r06 item 2)."""
+    from gmall2021_flink_dw_spark.plans.bpe import _greedy_merge, _merge_expr
+
+    cases = ["a a a a", "a a a", "a", "b a a b", "a b a b a", "b b a"]
+    for lhs, rhs in [("a", "a"), ("a", "b"), ("b", "a")]:
+        df = spark.createDataFrame([(s,) for s in cases], ["s"])
+        dist = [r[0] for r in df.select(_merge_expr(lhs, rhs)).collect()]
+        local = [
+            " ".join(_greedy_merge(s.split(" "), lhs, rhs)) for s in cases
+        ]
+        assert dist == local, (lhs, rhs, dist, local)
+
+
+def test_bpe_merge_expr_rejects_non_alpha_symbols():
+    """ADVICE r06 #2: the SQL interpolation in _merge_expr is safe only
+    for [a-z]+ symbols; anything else must fail loudly at the site."""
+    import pytest as _pytest
+
+    from gmall2021_flink_dw_spark.plans.bpe import _merge_expr
+
+    for bad in ("a'b", "A", "é", "a b", ""):
+        with _pytest.raises(ValueError):
+            _merge_expr(bad, "a")
+
+
 def test_bpe_train_matches_python_reference(spark):
     """The distributed merge loop replays a pure-Python reference BPE
     (argmax by (count desc, lhs asc, rhs asc), greedy left-to-right

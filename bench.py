@@ -227,6 +227,10 @@ def main() -> None:
     floor_set = set(by_cost[:5]) | {
         n for n in times if times[n] > 2 * prior_mins.get(n, float("inf"))
     }
+    # Pinned re-floor requests (VERDICT r06 item 3): queries whose last
+    # artifact carried an uncertified drift get a guaranteed solo floor
+    # this round regardless of the top-5/2x rules.
+    floor_set |= {"text_perplexity"} & set(times)
     floor_names = sorted(floor_set, key=lambda n: times[n], reverse=True)[:10]
     measured_floors: dict[str, float] = {}
     for name in floor_names:

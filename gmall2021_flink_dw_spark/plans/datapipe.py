@@ -618,7 +618,8 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     ),
     mu AS (SELECT avg(lp) AS mu FROM doc)
-    SELECT doc_id, n_bigrams, round(lp, 6) AS logprob, lp >= mu.mu AS keep
+    SELECT doc_id, n_bigrams, round(lp, 6) AS logprob,
+           lp >= mu.mu - 1e-9 AS keep
     FROM doc, mu
     """,
     doc="Bigram-LM fluency filter (the CCNet/RefinedWeb perplexity-"
@@ -631,15 +632,21 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast aggs, score joins keyed on the bigram (AQE splits the "
     "hot 'of the'-style keys). At 100 TB the model tables are exactly "
     "the KenLM count files — materialized once, broadcast/bucket-"
-    "joined by every scoring run. RESIDUAL CROSS-ENGINE TIE RISK "
-    "(ADVICE r05, accepted as measured): logprob is an order-dependent "
-    "float sum rounded to 6 places, and keep compares lp against a "
-    "float mean — a corpus whose 6th decimal lands on an exact half, "
-    "or whose lp sits within ~1 ulp of mu, could round/compare "
-    "differently per engine. Parity holds by measurement at "
-    "sf0.001/0.01/0.1; an exact-integer emission is impossible here "
-    "because ln() is inherently irrational — unlike "
-    "quality_classifier, whose score IS one exact integer ratio.",
+    "joined by every scoring run. FLOAT-TIE HARDENING (VERDICT r06 "
+    "item 3): keep uses an epsilon-guarded comparison, lp >= mu - 1e-9 "
+    "in BOTH engines. The realistic cross-engine flip was STRUCTURAL "
+    "ties — duplicate/near-duplicate docs put lp within ~1 ulp of mu, "
+    "and summation order then decides the >= — and the grace band "
+    "moves the boundary to -1e-9, a gap no corpus produces "
+    "structurally (true gaps are either ~0 or macroscopic), so "
+    "sub-ulp engine noise can no longer cross it. logprob keeps "
+    "round(lp, 6): an exact-integer emission is impossible (ln() is "
+    "irrational — unlike quality_classifier's single integer ratio), "
+    "and the round-half hazard needs the double's decimal expansion "
+    "to terminate in an exact half at digit 7, which requires a "
+    "binary-clean value that no ln()-sum produces; residual risk is "
+    "summation-order noise (~1e-14) crossing the 1e-6 grid, "
+    "p ~ 1e-8 per doc.",
     tags=("datapipe", "text", "quality", "join"),
 )
 def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,7 +699,8 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bigrams",
         F.round("lp", 6).alias("logprob"),
-        (F.col("lp") >= F.col("mu")).alias("keep"),
+        # epsilon-guarded gate: see the register doc (VERDICT r06 item 3)
+        (F.col("lp") >= F.col("mu") - F.lit(1e-9)).alias("keep"),
     )
 
 
@@ -2447,7 +2455,7 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     fluent AS (
       SELECT qc.doc_id, qc.source, qc.fp
       FROM qc JOIN lp USING (doc_id), mu
-      WHERE lp.lp >= mu.mu
+      WHERE lp.lp >= mu.mu - 1e-9
     ),
     uniq AS (
       SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
@@ -2473,11 +2481,10 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every stage (tokens + fingerprint projected and persisted once); "
     "each stage prunes rows before the next shuffle, so the expensive "
     "bigram model is built over the smallest surviving set. All "
-    "counts integer-exact; the single float gate (LM mean) reuses "
-    "text_perplexity's engine-agreement analysis — and inherits its "
-    "documented residual tie risk (ADVICE r05): a doc whose float lp "
-    "sits within ~1 ulp of the float mean could gate differently per "
-    "engine; parity holds by measurement at all tested sfs. "
+    "counts integer-exact; the single float gate (LM mean) is "
+    "epsilon-guarded (lp >= mu - 1e-9 in both engines, VERDICT r06 "
+    "item 3) so structural lp==mu ties from duplicate docs cannot "
+    "flip across engines — see text_perplexity's hardening analysis. "
     "The dedup-last "
     "order is deliberate: near-identical docs score identically under "
     "both gates, so deduping first would save nothing and cost an "
@@ -2533,7 +2540,8 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         qc.select("doc_id", "source", "fp")
         .join(lp, "doc_id")
         .crossJoin(F.broadcast(mu))
-        .filter(F.col("lp") >= F.col("mu"))
+        # epsilon-guarded gate, same form as text_perplexity (r06 item 3)
+        .filter(F.col("lp") >= F.col("mu") - F.lit(1e-9))
         .select("doc_id", "source", "fp")
     )
     # survivor source = the MIN-doc_id survivor's source (min_by), never

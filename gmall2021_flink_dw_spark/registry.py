@@ -120,8 +120,8 @@ _WINDOW_ROUND = 7
 # dwm_payment_wide, ads_gmv_by_day, ads_top_brands, ads_top_types,
 # ads_top_parts, dws_session_window, dws_salted_agg, tpch_q10_returns,
 # tpch_q15_topsupplier, tpch_q7_volume, dws_hopping_stats,
-# dws_uv_sketch_rollup, tpch_q1, tpch_q3 (plus any fill displaced by
-# r07's new queries). Total = 50.
+# dws_uv_sketch_rollup, tpch_q1, tpch_q3, and — displaced by
+# multimodal_decode_real — streaming_topic_router. Total = 50.
 _DRIVER_WINDOW = (
     # (a) newest=r04, at the staleness bound
     "streaming_cdc_upsert",
@@ -149,7 +149,8 @@ _DRIVER_WINDOW = (
     "cdc_snapshot_at",
     "cdc_changelog",
     "text_boilerplate",
-    # (b) replanned this round — new queries swap in as they land
+    # (b) new / replanned this round
+    "multimodal_decode_real",
     "text_perplexity",
     "corpus_filter_pipeline",
     "tokenizer_train_bpe",
@@ -175,7 +176,6 @@ _DRIVER_WINDOW = (
     "streaming_jump_detect",
     "streaming_session_window",
     "streaming_hopping_stats",
-    "streaming_topic_router",
 )
 
 

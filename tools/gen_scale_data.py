@@ -265,32 +265,58 @@ def main() -> None:
                     help="multiple of sf0.1 row counts")
     ap.add_argument("--out", default="/tmp/testdata_sf1")
     ap.add_argument("--seed", type=int, default=71)
+    ap.add_argument(
+        "--tables", default="all",
+        help="comma-separated subset to generate (default all 10); "
+        "e.g. --tables documents for the g100 linear-family decade, "
+        "where generating the 600M-row lineitem would cost 10x the "
+        "disk/time of the one table the measured queries read",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     m = args.mult
-    pq.write_table(gen_documents(rng, int(5000 * m)),
-                   os.path.join(args.out, "documents.parquet"))
-    pq.write_table(gen_embeddings(rng, int(2000 * m)),
-                   os.path.join(args.out, "embeddings.parquet"))
-    pq.write_table(gen_orders(rng, int(150000 * m), int(15000 * m)),
-                   os.path.join(args.out, "orders.parquet"))
-    pq.write_table(gen_events(rng, int(100000 * m), int(1500 * m)),
-                   os.path.join(args.out, "events.parquet"))
-    pq.write_table(
-        gen_lineitem(rng, int(150000 * m), int(20000 * m), int(1000 * m)),
-        os.path.join(args.out, "lineitem.parquet"),
+    wanted = (
+        None if args.tables == "all" else set(args.tables.split(","))
     )
-    pq.write_table(gen_customer(rng, int(15000 * m)),
-                   os.path.join(args.out, "customer.parquet"))
-    pq.write_table(gen_supplier(rng, int(1000 * m)),
-                   os.path.join(args.out, "supplier.parquet"))
-    pq.write_table(gen_part(rng, int(20000 * m)),
-                   os.path.join(args.out, "part.parquet"))
-    nation, region = gen_nation_region()
-    pq.write_table(nation, os.path.join(args.out, "nation.parquet"))
-    pq.write_table(region, os.path.join(args.out, "region.parquet"))
-    print(f"wrote ALL 10 tables x{m} to {args.out}")
+
+    def want(name: str) -> bool:
+        return wanted is None or name in wanted
+
+    if want("documents"):
+        pq.write_table(gen_documents(rng, int(5000 * m)),
+                       os.path.join(args.out, "documents.parquet"))
+    if want("embeddings"):
+        pq.write_table(gen_embeddings(rng, int(2000 * m)),
+                       os.path.join(args.out, "embeddings.parquet"))
+    if want("orders"):
+        pq.write_table(gen_orders(rng, int(150000 * m), int(15000 * m)),
+                       os.path.join(args.out, "orders.parquet"))
+    if want("events"):
+        pq.write_table(gen_events(rng, int(100000 * m), int(1500 * m)),
+                       os.path.join(args.out, "events.parquet"))
+    if want("lineitem"):
+        pq.write_table(
+            gen_lineitem(rng, int(150000 * m), int(20000 * m), int(1000 * m)),
+            os.path.join(args.out, "lineitem.parquet"),
+        )
+    if want("customer"):
+        pq.write_table(gen_customer(rng, int(15000 * m)),
+                       os.path.join(args.out, "customer.parquet"))
+    if want("supplier"):
+        pq.write_table(gen_supplier(rng, int(1000 * m)),
+                       os.path.join(args.out, "supplier.parquet"))
+    if want("part"):
+        pq.write_table(gen_part(rng, int(20000 * m)),
+                       os.path.join(args.out, "part.parquet"))
+    if want("nation") or want("region"):
+        nation, region = gen_nation_region()
+        if want("nation"):
+            pq.write_table(nation, os.path.join(args.out, "nation.parquet"))
+        if want("region"):
+            pq.write_table(region, os.path.join(args.out, "region.parquet"))
+    done = args.tables if wanted else "ALL 10 tables"
+    print(f"wrote {done} x{m} to {args.out}")
 
 
 if __name__ == "__main__":

@@ -2639,9 +2639,13 @@ _PARA = 12  # tokens per "paragraph" (see dedup_paragraphs doc)
     "item 6): the published pipelines (CCNet, RefinedWeb) dedup at "
     "paragraph/line granularity BEFORE document granularity. The "
     "synthetic corpus has no newline structure, so the paragraph grain "
-    "here is a fixed 12-token window (the operator is delimiter-"
-    "agnostic — swap the chunker for split(text, '\\n\\n') on a real "
-    "corpus and nothing else changes). First occurrence wins, globally "
+    "here is a fixed 12-token window; the trailing <12-token remainder "
+    "of each doc is DISCARDED from n_paras/new_text, and docs under 12 "
+    "tokens drop entirely (ADVICE r06 #3 — the output contract is "
+    "whole windows only; both engines agree). The operator is "
+    "delimiter-agnostic — swap the chunker for split(text, '\\n\\n') "
+    "on a real corpus and the remainder case disappears with it. "
+    "First occurrence wins, globally "
     "and deterministically: row_number over the paragraph hash ordered "
     "by (doc_id, idx); every doc is then reassembled from its "
     "surviving paragraphs in original order (collect_list of "

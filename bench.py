@@ -133,6 +133,8 @@ HEADLINE = [
     "tokenizer_train_bpe",
     "tokenizer_apply_bpe",
     "dedup_paragraphs",
+    # added r07:
+    "multimodal_decode_real",
 ]
 
 

@@ -71,6 +71,9 @@ INVARIANT_QUERIES = [
     # r06: first-occurrence-wins needs the (doc_id, idx) total order to
     # hold under any layout; reassembly must re-sort per doc
     "dedup_paragraphs",
+    # r07: real-codec lane — per-row encode/decode through two chained
+    # mapInPandas stages must be batch-boundary-independent
+    "multimodal_decode_real",
 ]
 
 

@@ -35,7 +35,7 @@ from gmall2021_flink_dw_spark.session import get_spark
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=20_000_000)
+    ap.add_argument("--rows", type=int, default=40_000_000)
     ap.add_argument("--keys", type=int, default=2_000)
     ap.add_argument("--out", default="/tmp/skew_measure")
     args = ap.parse_args()
@@ -47,6 +47,10 @@ def main() -> None:
         # 90% of rows on key 0, the rest uniform over the other keys;
         # the payload makes the hot partition big in BYTES (what the
         # skew rules measure), not just rows
+        # payload must be INCOMPRESSIBLE: the skew rule reads
+        # COMPRESSED map-output sizes, and a repeated-constant payload
+        # lz4-compresses to ~nothing, keeping the hot partition under
+        # the 256MB threshold (measured: no skew marking at all)
         fact = (
             spark.range(args.rows)
             .select(
@@ -54,7 +58,12 @@ def main() -> None:
                 .otherwise(F.col("id") % args.keys)
                 .alias("k"),
                 F.col("id").alias("v"),
-                F.repeat(F.lit("x"), 200).alias("payload"),
+                F.concat(
+                    F.md5(F.col("id").cast("string")),
+                    F.md5((F.col("id") * 31).cast("string")),
+                    F.md5((F.col("id") * 97).cast("string")),
+                    F.md5((F.col("id") * 193).cast("string")),
+                ).alias("payload"),
             )
         )
         fact.write.mode("overwrite").parquet(fact_path)
@@ -68,12 +77,32 @@ def main() -> None:
     def run_once() -> float:
         fact = spark.read.parquet(fact_path)
         dim = spark.read.parquet(dim_path)
-        joined = fact.join(dim, "k").groupBy("k").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dv").alias("s")
+        # Two traps this harness had to step around, both worth keeping
+        # on record because they are exactly what a user hits:
+        # (1) an aggregate referencing only k/v lets Catalyst prune the
+        #     payload at the scan — the hot partition shrinks ~13x and
+        #     the skew vanishes (first cut measured a fake 1.03x);
+        # (2) a groupBy on the JOIN KEY downstream makes the SMJ output
+        #     partitioning required, so OptimizeSkewedJoin legally
+        #     refuses to split the hot partition (second cut: 1.02x,
+        #     both modes equal). That regime needs
+        #     spark.sql.adaptive.forceOptimizeSkewedJoin or a salted
+        #     aggregate (dws_salted_agg) instead.
+        # (3) the payload had to be incompressible — see the generator.
+        # So: measure the JOIN itself — enrich, project, and drain via
+        # a global partial agg (no distribution requirement), never a
+        # same-key aggregate.
+        joined = fact.join(dim, "k").select(
+            "k", "v", (F.col("dv") + F.length("payload")).alias("w")
         )
+        probe = joined.agg(F.sum("w").alias("s"))
         t0 = time.perf_counter()
-        joined.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        probe.collect()
+        dt = time.perf_counter() - t0
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        marked = "skew=true" in plan
+        print(f"  skew-marked in executed plan: {marked}")
+        return dt
 
     results: dict[str, float] = {}
     for mode, flag in [("skew_on", "true"), ("skew_off", "false")] * 3:

@@ -296,6 +296,30 @@ _APPLY_ORACLE = (
     GROUP BY token ORDER BY total DESC, token LIMIT 40"""
 )
 
+_TOKENIZE_ORACLE = (
+    "WITH "
+    + _duck_ctes()
+    + f""",
+    vocab AS (
+      SELECT replace(s, ' ', '') AS word,
+             len(string_split(s, ' ')) AS n_tokens
+      FROM w{N_MERGES}
+    ),
+    dw AS (
+      SELECT doc_id, w AS word, count(*) AS k FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents
+      ) WHERE len(w) BETWEEN 1 AND 16
+      GROUP BY 1, 2
+    )
+    SELECT dw.doc_id,
+           CAST(sum(dw.k * vocab.n_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(dw.k) AS BIGINT) AS n_words
+    FROM dw JOIN vocab USING (word)
+    GROUP BY 1"""
+)
+
 
 # ------------------------------------------------------------------- queries
 
@@ -346,4 +370,49 @@ def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").cast("bigint").alias("total"))
         .orderBy(F.col("total").desc(), "token")
         .limit(40)
+    )
+
+
+@register(
+    "tokenizer_tokenize_docs",
+    oracle=_TOKENIZE_ORACLE,
+    doc="Tokenize the CORPUS under the learned BPE — the per-document "
+    "apply direction (train/apply above report corpus-level tables). "
+    "The 100 TB point: no per-row merge replay is needed at all. The "
+    "final word table IS word -> tokenization, and it is vocabulary-"
+    "bounded, so corpus apply = explode docs to (doc, word, k) counts "
+    "and BROADCAST-join the token counts per word — per-doc BPE token "
+    "totals from one corpus shuffle plus a map-side join, zero Python "
+    "in the hot path. Emits (doc_id, n_bpe_tokens, n_words); words "
+    "outside the [a-z]{1,16} pre-tokenization charset are excluded by "
+    "construction on both engines.",
+    tags=("datapipe", "text", "tokenizer", "join"),
+)
+def tokenizer_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, final_words = _train_merges(spark, sf_dir)
+    vocab = spark.createDataFrame(
+        final_words, "s string, cnt bigint"
+    ).select(
+        F.replace(F.col("s"), F.lit(" "), F.lit("")).alias("word"),
+        F.size(F.split("s", " ")).alias("n_tokens"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"),
+        )
+        .filter(F.length("word").between(1, 16))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        dw.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("k") * F.col("n_tokens")).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+            F.sum("k").cast("bigint").alias("n_words"),
+        )
     )

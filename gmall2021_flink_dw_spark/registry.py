@@ -121,7 +121,8 @@ _WINDOW_ROUND = 7
 # ads_top_parts, dws_session_window, dws_salted_agg, tpch_q10_returns,
 # tpch_q15_topsupplier, tpch_q7_volume, dws_hopping_stats,
 # dws_uv_sketch_rollup, tpch_q1, tpch_q3, and — displaced by
-# multimodal_decode_real — streaming_topic_router. Total = 50.
+# multimodal_decode_real / tokenizer_tokenize_docs —
+# streaming_topic_router, streaming_hopping_stats. Total = 50.
 _DRIVER_WINDOW = (
     # (a) newest=r04, at the staleness bound
     "streaming_cdc_upsert",
@@ -151,6 +152,7 @@ _DRIVER_WINDOW = (
     "text_boilerplate",
     # (b) new / replanned this round
     "multimodal_decode_real",
+    "tokenizer_tokenize_docs",
     "text_perplexity",
     "corpus_filter_pipeline",
     "tokenizer_train_bpe",
@@ -175,7 +177,6 @@ _DRIVER_WINDOW = (
     "cdc_scd2",
     "streaming_jump_detect",
     "streaming_session_window",
-    "streaming_hopping_stats",
 )
 
 

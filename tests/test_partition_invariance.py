@@ -74,6 +74,9 @@ INVARIANT_QUERIES = [
     # r07: real-codec lane — per-row encode/decode through two chained
     # mapInPandas stages must be batch-boundary-independent
     "multimodal_decode_real",
+    # r07: integer-exact broadcast-join apply — counts must not depend
+    # on layout
+    "tokenizer_tokenize_docs",
 ]
 
 

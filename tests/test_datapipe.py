@@ -584,6 +584,63 @@ def test_bpe_merge_expr_rejects_non_alpha_symbols():
             _merge_expr(bad, "a")
 
 
+def test_bpe_incremental_trainer_matches_naive_on_random_vocabs():
+    """Property: the heap/incremental loop (_train_merges_local) equals
+    a naive recount-everything BPE on random word tables — exercises
+    the lazy-deletion staleness and pair-regain edges that the fixed
+    corpus never hits (a pair dropping to zero and reappearing after a
+    later merge, stale index entries, exhaustion mid-run)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gmall2021_flink_dw_spark.plans.bpe import _train_merges_local
+
+    def naive(words: dict[str, int], n: int):
+        merges = []
+        for rank in range(1, n + 1):
+            pairs: Counter = Counter()
+            for s, cnt in words.items():
+                syms = s.split(" ")
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += cnt
+            if not pairs:
+                break
+            (a, b), total = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, a, b, a + b, total))
+            merged: dict[str, int] = {}
+            for s, cnt in words.items():
+                out: list[str] = []
+                for x in s.split(" "):
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                merged[" ".join(out)] = merged.get(" ".join(out), 0) + cnt
+            words = merged
+        return merges
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.dictionaries(word, st.integers(1, 9), min_size=1, max_size=12),
+        st.integers(1, 12),
+    )
+    def check(words, n):
+        rows = [(" ".join(w), c) for w, c in sorted(words.items())]
+        got_merges, got_final = _train_merges_local(rows, n)
+        assert got_merges == naive(dict(rows), n)
+        # final word table must re-concatenate to the original words
+        for (s0, c0), (s1, c1) in zip(rows, got_final):
+            assert s0.replace(" ", "") == s1.replace(" ", "") and c0 == c1
+
+    check()
+
+
 def test_bpe_train_matches_python_reference(spark):
     """The distributed merge loop replays a pure-Python reference BPE
     (argmax by (count desc, lhs asc, rhs asc), greedy left-to-right

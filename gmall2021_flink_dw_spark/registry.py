@@ -101,82 +101,81 @@ def register(
 # commit (VERDICT r04 item 1: the handover state must be green; the
 # forcing function moves to the start-of-round bump, asserted by
 # test_window_round_is_bumped).
-_WINDOW_ROUND = 7
+_WINDOW_ROUND = 8
 
-# r07 window (VERDICT r06 item 1): (a) the 25 queries whose newest
-# driver row is r04 — at the staleness bound, MUST front-load (the
-# exact list pre-committed in the r06 window comment); (b) slots for
-# queries new or replanned this round — text_perplexity and
-# corpus_filter_pipeline (float-tie hardening, VERDICT r06 item 3),
-# tokenizer_train_bpe / tokenizer_apply_bpe (driver-local merge loop,
-# VERDICT r06 item 2) — new queries swap in as they land, displacing
-# tail fill; (c) fill from the r05 cohort in registration order.
-# The 26 r05-cohort names left out are staleness exactly 2 at r07 —
-# within bound — and MUST front-load r08: streaming_late_data_drop,
-# streaming_dws_sink, streaming_gmv_dashboard, streaming_gmv_update_log,
-# dws_keyword_stats_udf, dws_product_stats_approx,
-# dws_visitor_stats_compat, kafka_wire_events, dwm_user_jump,
-# dwm_session_stats, dwm_order_wide, dwm_order_wide_missdrop,
-# dwm_payment_wide, ads_gmv_by_day, ads_top_brands, ads_top_types,
-# ads_top_parts, dws_session_window, dws_salted_agg, tpch_q10_returns,
-# tpch_q15_topsupplier, tpch_q7_volume, dws_hopping_stats,
-# dws_uv_sketch_rollup, tpch_q1, tpch_q3, and — displaced by
-# multimodal_decode_real / tokenizer_tokenize_docs —
-# streaming_topic_router, streaming_hopping_stats. Total = 50.
+# r08 window (VERDICT r07 item 1): (a) the 28 queries whose newest
+# driver row is r05 — at the staleness bound, MUST front-load (the
+# exact list was pre-committed in the r07 window comment, 26 named +
+# the two displaced by the r07 new queries); (b) slots for queries new
+# or replanned this round — new queries swap in as they land,
+# displacing tail fill; (c) fill from the r06 cohort (48 queries) in
+# registration order.
+# The 26 r06-cohort names left out are staleness exactly 2 at r08 —
+# within bound — and MUST front-load r09:
+# corpus_summary, corpus_train_pipeline, sample_mix_allocator,
+# dedup_paragraphs, dws_keyword_stats_zh, cdc_asof_enrich, tpch_q5, tpch_q6,
+# tpch_q4_semi, tpch_q16_anti, tpch_q12_caseagg, tpch_q14_promo,
+# tpch_q18_bigorders, tpch_q19_disjunct, ads_top_parts_per_brand,
+# dws_sales_rollup, ads_order_quantiles, tpch_q2_mincost,
+# tpch_q8_marketshare, tpch_q9_profit, tpch_q11_importance,
+# tpch_q13_custdist, tpch_q17_smallqty, tpch_q21_waiting, tpch_q22_inactive,
+# tpch_q20_excess.
+# Plus any fill displaced by r08 new queries (see tail of this list).
+# Total = 50.
 _DRIVER_WINDOW = (
-    # (a) newest=r04, at the staleness bound
-    "streaming_cdc_upsert",
-    "streaming_visitor_stats",
-    "streaming_exact_distinct",
-    "streaming_new_user_flag",
-    "streaming_interval_join",
-    "streaming_uv_dedup",
-    "streaming_keyword_stats",
-    "dws_keyword_stats",
-    "dws_visitor_stats",
-    "dws_product_stats",
-    "dws_province_stats",
-    "dws_order_quantiles_approx",
-    "dws_promo_window_stats",
-    "dws_event_measures",
-    "dwd_clean_events",
-    "dwd_event_split_counts",
-    "dwm_unique_visit",
-    "dwd_new_user_flag",
-    "dws_sales_cube",
-    "cdc_dim_snapshot",
-    "sample_curriculum_rank",
-    "cdc_route",
-    "cdc_snapshot_at",
-    "cdc_changelog",
-    "text_boilerplate",
-    # (b) new / replanned this round
-    "multimodal_decode_real",
-    "tokenizer_tokenize_docs",
-    "text_perplexity",
-    "corpus_filter_pipeline",
-    "tokenizer_train_bpe",
-    "tokenizer_apply_bpe",
-    # (c) r05-cohort fill, registration order
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_bucketed",
-    "quality_classifier",
-    "dedup_winnow_pairs",
-    "ann_ivf",
-    "ann_pq",
-    "sample_hash_bucket",
-    "dedup_embedding_lsh",
-    "dedup_semantic",
-    "multimodal_embed",
-    "text_repetition",
-    "streaming_dedup_ingest",
-    "corpus_length_histogram",
-    "corpus_ngram_novelty",
-    "cdc_route_projected",
-    "cdc_scd2",
-    "streaming_jump_detect",
-    "streaming_session_window",
+    # (a) newest=r05, at the staleness bound
+    "streaming_late_data_drop",
+    "streaming_dws_sink",
+    "streaming_gmv_dashboard",
+    "streaming_gmv_update_log",
+    "dws_keyword_stats_udf",
+    "dws_product_stats_approx",
+    "dws_visitor_stats_compat",
+    "kafka_wire_events",
+    "dwm_user_jump",
+    "dwm_session_stats",
+    "dwm_order_wide",
+    "dwm_order_wide_missdrop",
+    "dwm_payment_wide",
+    "ads_gmv_by_day",
+    "ads_top_brands",
+    "ads_top_types",
+    "ads_top_parts",
+    "dws_session_window",
+    "dws_salted_agg",
+    "tpch_q10_returns",
+    "tpch_q15_topsupplier",
+    "tpch_q7_volume",
+    "dws_hopping_stats",
+    "dws_uv_sketch_rollup",
+    "tpch_q1",
+    "tpch_q3",
+    "streaming_topic_router",
+    "streaming_hopping_stats",
+    # (b) new / replanned this round — swapped in as they land
+    # (c) r06-cohort fill, registration order
+    "text_stats",
+    "lang_id",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "ann_topk",
+    "multimodal_decode",
+    "dedup_embedding_cosine",
+    "text_quality",
+    "doc_winnow_fingerprint",
+    "multimodal_frame_sample",
+    "text_redact",
+    "corpus_clean",
+    "sample_stratified",
+    "vocab_top_tokens",
+    "dedup_clusters",
+    "corpus_contamination",
+    "tfidf_top_terms",
+    "pack_sequences",
+    "dedup_survivors_by_quality",
+    "multimodal_resize",
+    "text_token_counts",
+    "sample_training_mix",
 )
 
 

@@ -89,9 +89,16 @@ def decode_real(payload: bytes) -> tuple[int, int, int, int]:
             f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
             f"compression={compression})"
         )
-    if offset > len(payload):
-        raise ValueError("pixel-array offset beyond payload")
-    return width, abs(height), bpp, sum(payload[offset:])
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
+    # Checksum EXACTLY the pixel array (ADVICE r07 #1): real BMPs may
+    # carry trailing data (ICC profiles, gap bytes) that must not fold
+    # into the checksum, and a truncated file must error, not yield 0.
+    stride = (3 * width + 3) // 4 * 4
+    end = offset + stride * abs(height)
+    if offset > len(payload) or end > len(payload):
+        raise ValueError("pixel array truncated or offset beyond payload")
+    return width, abs(height), bpp, sum(payload[offset:end])
 
 
 def decode_stub(payload: bytes) -> tuple[int, int]:

@@ -542,6 +542,68 @@ def test_hierarchical_assign_matches_flat_candidates(spark):
 # ------------------------------------------------------------------- BPE
 
 
+def test_bpe_vocab_broadcast_is_conditional(spark, monkeypatch):
+    """tokenizer_tokenize_docs broadcasts the vocab only under the row
+    cap (VERDICT r07 item 4): a web-scale vocab must fall back to a
+    plain equi-join (Spark may still AUTO-broadcast under its size
+    threshold — the point is F.broadcast no longer OVERRIDES it).
+    The result is identical either way."""
+    from gmall2021_flink_dw_spark.plans import bpe
+
+    def hinted(df):
+        # UnresolvedHint/ResolvedHint appear only when F.broadcast
+        # forced it; auto-broadcast decisions never mark the logical plan.
+        return "hint" in df._jdf.queryExecution().analyzed().toString().lower()
+
+    sf = "/root/testdata/sf0.001"
+    small = bpe.tokenizer_tokenize_docs(spark, sf)
+    assert hinted(small)
+    rows_small = {r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+                  for r in small.collect()}
+
+    monkeypatch.setattr(bpe, "BROADCAST_VOCAB_MAX_ROWS", 0)
+    big = bpe.tokenizer_tokenize_docs(spark, sf)
+    assert not hinted(big)
+    rows_big = {r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+                for r in big.collect()}
+    assert rows_big == rows_small
+
+
+def test_bpe_min_count_prunes_word_table(spark, monkeypatch):
+    """MIN_WORD_COUNT > 1 drops sub-threshold words from the collected
+    table (the web-scale driver-memory bound); 1 is a no-op filter."""
+    from gmall2021_flink_dw_spark.plans import bpe
+
+    sf = "/root/testdata/sf0.001"
+    base_df = bpe._word_symbols(spark, sf)
+    base = base_df.count()
+    # threshold just above the rarest word so the filter provably bites
+    thresh = base_df.agg({"cnt": "min"}).collect()[0][0] + 1
+    monkeypatch.setattr(bpe, "MIN_WORD_COUNT", thresh)
+    pruned_df = bpe._word_symbols(spark, sf)
+    assert pruned_df.count() < base
+    assert pruned_df.agg({"cnt": "min"}).collect()[0][0] >= thresh
+
+
+def test_bpe_train_cache_invalidates_on_data_change(tmp_path):
+    """_TRAIN_CACHE keys on documents.parquet (mtime, size): rewriting
+    the data under the same dir must produce a different key
+    (ADVICE r07 #2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmall2021_flink_dw_spark.plans import bpe
+
+    p = tmp_path / "documents.parquet"
+    pq.write_table(pa.table({"doc_id": [1], "text": ["aa"]}), p)
+    k1 = bpe._dataset_key(str(tmp_path), 20)
+    import os
+    pq.write_table(pa.table({"doc_id": [1], "text": ["bb bb"]}), p)
+    os.utime(p, (os.path.getmtime(p) + 5,) * 2)
+    k2 = bpe._dataset_key(str(tmp_path), 20)
+    assert k1 != k2
+
+
 def test_bpe_merge_expr_is_greedy_left_to_right(spark):
     """'aaaa' + (a,a) -> 'aa aa' (non-overlapping), 'aaa' -> 'aa a'."""
     from pyspark.sql import functions as F

@@ -80,3 +80,31 @@ def test_decode_real_topdown_height_is_absolute():
     struct.pack_into("<i", bmp, 22, -2)
     w, h, bpp, _ = decode_real(bytes(bmp))
     assert (w, h) == (2, 2)
+
+
+def test_decode_real_ignores_trailing_bytes():
+    """Trailing data after the pixel array (ICC profile, gap bytes)
+    must NOT fold into the checksum (ADVICE r07 #1)."""
+    bmp = encode_bmp(2, 2, (1, 1, 1))
+    _, _, _, clean_sum = decode_real(bmp)
+    _, _, _, trailed_sum = decode_real(bmp + b"\xff" * 128)
+    assert trailed_sum == clean_sum
+
+
+def test_decode_real_rejects_truncated_pixels():
+    """A payload whose pixel array is short of stride*|height| errors
+    instead of silently checksumming a partial (or empty) slice."""
+    bmp = encode_bmp(4, 4, (9, 9, 9))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_real(bmp[:-1])
+    # offset == len(payload): previously yielded pixel_sum 0 silently
+    with pytest.raises(ValueError, match="truncated"):
+        decode_real(bmp[:54])
+
+
+@pytest.mark.parametrize("field_off,value", [(18, 0), (18, -3), (22, 0)])
+def test_decode_real_rejects_nonpositive_dims(field_off, value):
+    bmp = bytearray(encode_bmp(2, 2, (0, 0, 0)))
+    struct.pack_into("<i", bmp, field_off, value)
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_real(bytes(bmp))

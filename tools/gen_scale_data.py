@@ -276,9 +276,15 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     m = args.mult
+    known = {"documents", "embeddings", "orders", "events", "lineitem",
+             "customer", "supplier", "part", "nation", "region"}
     wanted = (
         None if args.tables == "all" else set(args.tables.split(","))
     )
+    if wanted is not None and (unknown := sorted(wanted - known)):
+        # A misspelled table name must error, not print a fake success
+        # line with nothing written (ADVICE r07 #3).
+        ap.error(f"unknown table(s) {unknown}; valid: {sorted(known)}")
 
     def want(name: str) -> bool:
         return wanted is None or name in wanted

@@ -91,10 +91,13 @@ def dwd_clean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle recomputes the clean projection from the raw table, so a "
     "green row proves the serialize->decode->parse round trip is "
     "lossless including broker metadata (partition, per-partition "
-    "monotonic offset). Offset synthesis uses a per-partition window — "
-    "that is the PRODUCER-side test fixture standing in for the broker "
-    "(which assigns offsets for free); the consume plan itself is "
-    "shuffle-free until the DWD filters.",
+    "monotonic offset). Offset synthesis is the PRODUCER-side test "
+    "fixture standing in for the broker (which assigns offsets for "
+    "free); r08 replanned it two-level — rank within (partition, "
+    "id-span sub-bucket) + broadcast per-bucket base offsets — so sort "
+    "parallelism is 8*1024-way instead of capped at the 8 kafka "
+    "partitions (measured 10x slope 4.7x -> 1.6x, VERDICT r07 item 2); "
+    "the consume plan itself is shuffle-free until the DWD filters.",
     tags=("kafka", "source", "wire-format", "dwd"),
 )
 def kafka_wire_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,13 +122,59 @@ def kafka_wire_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     part = F.pmod(F.col("user_id"), F.lit(8)).cast("int")
-    offset_w = Window.partitionBy(part).orderBy("event_id")
-    wire = ev.select(
+    # --- broker-offset synthesis, TWO-LEVEL (VERDICT r07 item 2): the
+    # r07 form was one row_number window over the 8 kafka partitions —
+    # a sort whose parallelism is capped at 8 tasks no matter how many
+    # executors exist (measured 4.7x solo for 10x data, the band edge).
+    # Instead: split each kafka partition into B sub-buckets that are
+    # MONOTONIC in the offset order (event_id), rank within
+    # (partition, bucket) — 8*B-way parallel, per-task sorts B-times
+    # smaller — and add per-bucket base offsets from a tiny
+    # (8*B)-row cumulative count table joined back by broadcast.
+    # global rank == base + local rank exactly because buckets are
+    # monotonic in event_id. A real broker assigns offsets for free;
+    # this producer-side fixture is the part that must not cap scale.
+    # Fixed B sub-buckets per kafka partition (measured better than a
+    # span-adaptive B at every tested scale — more, smaller sorts win).
+    # 8*B base rows stay trivially broadcastable; division-first width
+    # arithmetic cannot overflow for any id range.
+    _B = 1024
+    bounds = ev.agg(
+        F.min("event_id").alias("_lo"), F.max("event_id").alias("_hi")
+    ).select(
+        "_lo",
+        F.expr(f"(_hi - _lo + 1) div {_B} + 1").alias("_width"),
+    )
+    evb = (
+        ev.withColumn("_part", part)
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("_bucket", F.expr("(event_id - _lo) div _width"))
+    )
+    cum_w = (
+        Window.partitionBy("_part")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        evb.groupBy("_part", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "_part",
+            "_bucket",
+            F.coalesce(F.sum("_c").over(cum_w), F.lit(0)).alias("_base"),
+        )
+    )
+    rn_w = Window.partitionBy("_part", "_bucket").orderBy("event_id")
+    offs = evb.join(F.broadcast(bases), ["_part", "_bucket"]).withColumn(
+        "_offset",
+        (F.col("_base") + F.row_number().over(rn_w) - F.lit(1)).cast("long"),
+    )
+    wire = offs.select(
         F.col("user_id").cast("string").cast("binary").alias("key"),
         payload.cast("binary").alias("value"),
         F.lit("ods_base_log").alias("topic"),
-        part.alias("partition"),
-        (F.row_number().over(offset_w) - F.lit(1)).cast("long").alias("offset"),
+        F.col("_part").alias("partition"),
+        F.col("_offset").alias("offset"),
         F.col("ts").cast("timestamp").alias("timestamp"),
         F.lit(0).alias("timestampType"),
     )

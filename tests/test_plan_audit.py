@@ -73,6 +73,8 @@ SCALAR_THRESHOLD_ALLOWED = {
     # vocab-size + corpus-mean 1-row broadcast scalars
     "text_perplexity",
     "corpus_filter_pipeline",
+    # id-span bounds (1-row broadcast) for the two-level offset bucketing
+    "kafka_wire_events",
 }
 
 DIM_TABLES = ("nation", "region", "part.parquet", "supplier", "customer")

@@ -328,3 +328,280 @@ def decode_bmp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def decode_bmp_features(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(decode_bmp_batch, BMP_DECODED_SCHEMA)
+
+
+# --------------------------------------------------------- PNG codec (r08)
+# Pure-stdlib (struct + zlib) PNG support, one notch wider than the BMP
+# lane (VERDICT r07 item 6). The encoder writes spec-valid files (the
+# 8-byte signature, CRC-correct IHDR/IDAT/IEND chunks, zlib-deflated
+# scanlines) that any viewer opens; it deliberately CYCLES through all
+# five PNG filter types (None/Sub/Up/Average/Paeth) row by row so the
+# decoder's filter reversal is genuinely exercised, not just filter 0.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(ftype: int, raw: bytes, prev: bytes, bpp: int = 3) -> bytes:
+    """Apply PNG filter `ftype` to one raw scanline (encoder side)."""
+    n = len(raw)
+    out = bytearray(n)
+    for i in range(n):
+        a = raw[i - bpp] if i >= bpp else 0          # left
+        b = prev[i]                                   # up
+        c = prev[i - bpp] if i >= bpp else 0          # upper-left
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out[i] = (raw[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def encode_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Write a real 8-bit truecolor PNG (solid color), cycling filter
+    types 0..4 across rows."""
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw_row = bytes(rgb) * width
+    prev = b"\x00" * (3 * width)
+    scan = bytearray()
+    for y in range(height):
+        ftype = y % 5
+        scan.append(ftype)
+        scan += _png_filter_row(ftype, raw_row, prev)
+        prev = raw_row
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL PNG decoder for 8-bit truecolor (color type 2): chunk walk
+    with CRC validation, IDAT inflate, full 5-filter reversal. Returns
+    (width, height, bit_depth, pixel_sum). Interlaced / paletted /
+    alpha PNGs raise ValueError — codec libs for the general case are
+    not in this image."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos, width = 8, -1
+    height = bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid PNG dimensions {width}x{height}")
+    if (bit_depth, color_type, interlace) != (8, 2, 0):
+        raise ValueError(
+            "only 8-bit truecolor non-interlaced PNG supported "
+            f"(depth={bit_depth}, color={color_type}, interlace={interlace})"
+        )
+    scan = zlib.decompress(bytes(idat))
+    stride = 3 * width
+    if len(scan) != (stride + 1) * height:
+        raise ValueError("PNG scanline data size mismatch")
+    bpp = 3
+    prev = bytearray(stride)
+    pixel_sum = 0
+    for y in range(height):
+        ftype = scan[y * (stride + 1)]
+        row = bytearray(scan[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype > 4:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            row[i] = (row[i] + pred) & 0xFF
+        pixel_sum += sum(row)
+        prev = row
+    return width, height, bit_depth, pixel_sum
+
+
+# --------------------------------------------------------- WAV codec (r08)
+
+
+def encode_wav(samples: list[int], sample_rate: int = 16000) -> bytes:
+    """Write a real RIFF/WAVE file: PCM 16-bit mono little-endian.
+    Opens in any audio player/editor."""
+    import array
+
+    data = array.array("h", samples).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL RIFF/WAVE decoder: chunk walk, PCM-16 fmt validation, int16
+    sample parse. Returns (sample_rate, n_channels, n_samples,
+    sample_sum). Compressed / float / multi-byte formats raise."""
+    import array
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = n_channels = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated WAV chunk {tag!r}")
+        if tag == b"fmt ":
+            audio_fmt, n_channels, sample_rate, _, _, bits = (
+                struct.unpack_from("<HHIIHH", body)
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM-16 WAV supported (fmt={audio_fmt}, bits={bits})"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(data) % 2:
+        raise ValueError("odd PCM-16 data length")
+    samples = array.array("h")
+    samples.frombytes(data)
+    return sample_rate, n_channels, len(samples) // n_channels, sum(samples)
+
+
+# ------------------------------------------- mixed-modality lane (r08)
+
+MIXED_DECODED_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, "
+    "sample_rate int, n_samples int, checksum long"
+)
+
+
+def attach_mixed_payload(docs: DataFrame) -> DataFrame:
+    """Ingest a MIXED-modality corpus: doc_id % 3 picks the real format
+    (0 -> BMP, 1 -> PNG, 2 -> WAV), parameters derive from doc_id and
+    md5(text) exactly like the BMP lane, so every decoded field has a
+    closed form a SQL oracle recomputes. WAV samples are the ramp
+    ((doc_id*31 + i*7) mod 65536) - 32768 over i in [0, n)."""
+    src = docs.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, h in zip(pdf["doc_id"], pdf["content_hash"]):
+                d = int(doc_id)
+                c = int(h[:2], 16)
+                kind = d % 3
+                if kind == 0:
+                    payloads.append(encode_bmp(d % 13 + 1, d % 7 + 1, (c, c, c)))
+                elif kind == 1:
+                    payloads.append(encode_png(d % 11 + 1, d % 5 + 1, (c, c, c)))
+                else:
+                    n = d % 100 + 10
+                    samples = [((d * 31 + i * 7) % 65536) - 32768
+                               for i in range(n)]
+                    payloads.append(encode_wav(samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return src.mapInPandas(encode_batch, "doc_id long, payload binary")
+
+
+def decode_mixed_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """ONE decode stage dispatching on magic bytes — the shape of a real
+    heterogeneous media pipeline (a lake directory is never one format).
+    Unknown magics raise: silent skips would hide corrupt data."""
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "fmt", "width", "height",
+            "sample_rate", "n_samples", "checksum")}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            p = bytes(p)
+            if p[:2] == b"BM":
+                w, h, _, s = decode_real(p)
+                row = ("bmp", w, h, None, None, s)
+            elif p[:8] == _PNG_SIG:
+                w, h, _, s = decode_png(p)
+                row = ("png", w, h, None, None, s)
+            elif p[:4] == b"RIFF":
+                sr, _, n, s = decode_wav(p)
+                row = ("wav", None, None, sr, n, s)
+            else:
+                raise ValueError(f"unknown media magic {p[:8]!r}")
+            fmt, w, h, sr, n, s = row
+            out["doc_id"].append(doc_id)
+            out["fmt"].append(fmt)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["sample_rate"].append(sr)
+            out["n_samples"].append(n)
+            out["checksum"].append(s)
+        yield pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "fmt": out["fmt"],
+            "width": pd.Series(out["width"], dtype="Int32"),
+            "height": pd.Series(out["height"], dtype="Int32"),
+            "sample_rate": pd.Series(out["sample_rate"], dtype="Int32"),
+            "n_samples": pd.Series(out["n_samples"], dtype="Int32"),
+            "checksum": pd.Series(out["checksum"], dtype="int64"),
+        })
+
+
+def decode_mixed_features(with_payload: DataFrame) -> DataFrame:
+    return with_payload.mapInPandas(decode_mixed_batch, MIXED_DECODED_SCHEMA)

@@ -461,6 +461,55 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_bmp_features(attach_bmp_payload(docs))
 
 
+@register(
+    "multimodal_decode_mixed",
+    oracle="""
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+           ELSE 'wav' END AS fmt,
+      CASE doc_id % 3 WHEN 0 THEN (doc_id % 13 + 1)::INT
+           WHEN 1 THEN (doc_id % 11 + 1)::INT END AS width,
+      CASE doc_id % 3 WHEN 0 THEN (doc_id % 7 + 1)::INT
+           WHEN 1 THEN (doc_id % 5 + 1)::INT END AS height,
+      CASE WHEN doc_id % 3 = 2 THEN 16000::INT END AS sample_rate,
+      CASE WHEN doc_id % 3 = 2
+           THEN (doc_id % 100 + 10)::INT END AS n_samples,
+      CASE doc_id % 3
+        WHEN 0 THEN 3 * (doc_id % 13 + 1) * (doc_id % 7 + 1)
+                    * ('0x' || substr(md5(text), 1, 2))::BIGINT
+        WHEN 1 THEN 3 * (doc_id % 11 + 1) * (doc_id % 5 + 1)
+                    * ('0x' || substr(md5(text), 1, 2))::BIGINT
+        ELSE CAST(list_sum(list_transform(range(0, doc_id % 100 + 10),
+             i -> ((doc_id * 31 + i * 7) % 65536) - 32768)) AS BIGINT)
+      END AS checksum
+    FROM documents
+    """,
+    doc="MIXED-modality real-codec lane (VERDICT r07 item 6): doc_id%3 "
+    "picks the format — real 24-bit BMP, real 8-bit truecolor PNG "
+    "(stdlib zlib deflate; the encoder cycles all five PNG filter "
+    "types so decode exercises full filter reversal, with chunk CRC "
+    "validation), or real RIFF/WAVE PCM-16 (ramp samples) — and ONE "
+    "mapInPandas decode stage dispatches on magic bytes, the shape of "
+    "a heterogeneous media lake where a directory is never one format. "
+    "All generated parameters derive from doc_id and md5(text), so "
+    "width/height/sample_rate/n_samples/checksum all have closed forms "
+    "the oracle recomputes (PNG/BMP checksum = sum of decoded RGB "
+    "bytes = 3*w*h*color; WAV checksum = sum of the deterministic "
+    "int16 ramp). datapipe/multimodal.py:encode_png/decode_png/"
+    "encode_wav/decode_wav/decode_mixed_batch.",
+    tags=("datapipe", "multimodal", "udf", "codec"),
+)
+def multimodal_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.multimodal import (
+        attach_mixed_payload,
+        decode_mixed_features,
+    )
+
+    ensure_workers_can_import(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_mixed_features(attach_mixed_payload(docs))
+
+
 _EMB_DEDUP_ORACLE = """
     WITH v AS (
       SELECT vec_id, embedding,

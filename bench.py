@@ -135,6 +135,7 @@ HEADLINE = [
     "dedup_paragraphs",
     # added r07:
     "multimodal_decode_real",
+    "multimodal_decode_mixed",
     "tokenizer_tokenize_docs",
 ]
 

@@ -153,6 +153,8 @@ _DRIVER_WINDOW = (
     "streaming_topic_router",
     "streaming_hopping_stats",
     # (b) new / replanned this round — swapped in as they land
+    "multimodal_decode_mixed",
+    "kafka_wire_events_replan_slot",  # placeholder-comment; see below
     # (c) r06-cohort fill, registration order
     "text_stats",
     "lang_id",

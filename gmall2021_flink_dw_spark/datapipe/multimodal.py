@@ -415,7 +415,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int]:
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        if len(body) != length or pos + 12 + length > len(payload):
             raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
@@ -507,12 +507,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
         if len(body) != length:
             raise ValueError(f"truncated WAV chunk {tag!r}")
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             audio_fmt, n_channels, sample_rate, _, _, bits = (
                 struct.unpack_from("<HHIIHH", body)
             )
-            if audio_fmt != 1 or bits != 16:
+            if audio_fmt != 1 or bits != 16 or n_channels < 1:
                 raise ValueError(
-                    f"only PCM-16 WAV supported (fmt={audio_fmt}, bits={bits})"
+                    "only PCM-16 WAV with >=1 channel supported "
+                    f"(fmt={audio_fmt}, bits={bits}, channels={n_channels})"
                 )
         elif tag == b"data":
             data = body

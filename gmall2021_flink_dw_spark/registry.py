@@ -101,17 +101,26 @@ def register(
 # commit (VERDICT r04 item 1: the handover state must be green; the
 # forcing function moves to the start-of-round bump, asserted by
 # test_window_round_is_bumped).
-_WINDOW_ROUND = 8
+_WINDOW_ROUND = 9
 
-# r08 window (VERDICT r07 item 1): (a) the 28 queries whose newest
-# driver row is r05 — at the staleness bound, MUST front-load (the
-# exact list was pre-committed in the r07 window comment, 26 named +
-# the two displaced by the r07 new queries); (b) slots for queries new
-# or replanned this round — new queries swap in as they land,
-# displacing tail fill; (c) fill from the r06 cohort (48 queries) in
-# registration order.
-# The 26 r06-cohort names left out are staleness exactly 2 at r08 —
-# within bound — and MUST front-load r09:
+# r09 window (ADVICE r08 item 1): the r08 driver run CRASHED at
+# load_all() — an unregistered placeholder name in this list —
+# so CORRECTNESS_r08.json is empty and NOTHING was refreshed in r08.
+# Staleness is therefore counted in SUCCESSFUL driver rounds
+# (artifacts with >=1 row; see tests/test_catalog.py): the crashed
+# round provided no evidence and consumed no rotation capacity, and
+# counting it as a calendar round would make the invariant
+# unsatisfiable (28 newest=r5 + 48 newest=r6 = 76 stale > 50 slots).
+# Effective sequence entering r09: [r1..r7, r9].
+#
+# This window re-runs the r08 plan: (a) the 28 queries whose newest
+# driver row is r05 — effective staleness 3, MUST front-load;
+# (b) multimodal_decode_mixed (registered in r08, zero driver
+# evidence) plus any queries new or replanned this round — new
+# queries swap in as they land, displacing tail fill; (c) fill from
+# the r06 cohort (48 queries) in registration order.
+# The 27 r06-cohort names left out are effective staleness exactly 2
+# at r09 — within bound — and MUST front-load r10:
 # corpus_summary, corpus_train_pipeline, sample_mix_allocator,
 # dedup_paragraphs, dws_keyword_stats_zh, cdc_asof_enrich, tpch_q5, tpch_q6,
 # tpch_q4_semi, tpch_q16_anti, tpch_q12_caseagg, tpch_q14_promo,
@@ -119,8 +128,8 @@ _WINDOW_ROUND = 8
 # dws_sales_rollup, ads_order_quantiles, tpch_q2_mincost,
 # tpch_q8_marketshare, tpch_q9_profit, tpch_q11_importance,
 # tpch_q13_custdist, tpch_q17_smallqty, tpch_q21_waiting, tpch_q22_inactive,
-# tpch_q20_excess.
-# Plus any fill displaced by r08 new queries (see tail of this list).
+# tpch_q20_excess, sample_training_mix.
+# Plus any fill displaced by r09 new queries (see tail of this list).
 # Total = 50.
 _DRIVER_WINDOW = (
     # (a) newest=r05, at the staleness bound
@@ -152,9 +161,8 @@ _DRIVER_WINDOW = (
     "tpch_q3",
     "streaming_topic_router",
     "streaming_hopping_stats",
-    # (b) new / replanned this round — swapped in as they land
+    # (b) new this round / zero driver evidence — swapped in as they land
     "multimodal_decode_mixed",
-    "kafka_wire_events_replan_slot",  # placeholder-comment; see below
     # (c) r06-cohort fill, registration order
     "text_stats",
     "lang_id",
@@ -177,7 +185,6 @@ _DRIVER_WINDOW = (
     "dedup_survivors_by_quality",
     "multimodal_resize",
     "text_token_counts",
-    "sample_training_mix",
 )
 
 

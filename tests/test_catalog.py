@@ -68,23 +68,32 @@ def test_window_round_is_bumped():
 
 def test_no_query_exceeds_staleness_bound():
     """With the upcoming round's window applied, every query's driver
-    row is at most MAX_STALENESS rounds old. Queries in the window are
-    projected to get a row in round _WINDOW_ROUND; everything else keeps
-    its newest recorded row from rounds < _WINDOW_ROUND. A failure here
-    means the window rebuild neglected a query — fix _DRIVER_WINDOW,
-    not this test."""
+    row is at most MAX_STALENESS SUCCESSFUL driver rounds old. Queries
+    in the window are projected to get a row in round _WINDOW_ROUND;
+    everything else keeps its newest recorded row from rounds <
+    _WINDOW_ROUND. Distance is measured in the sequence of rounds whose
+    artifact actually has rows (gen_catalog.successful_rounds): a
+    crashed driver run (r08 — empty ``{}`` artifact) refreshed nothing
+    and is skipped, otherwise one lost round leaves more stale queries
+    than window slots forever. A failure here means the window rebuild
+    neglected a query — fix _DRIVER_WINDOW, not this test."""
     import tools.gen_catalog as g
 
     reg = load_all()
     rounds = g.driver_rounds()  # counts rounds < _WINDOW_ROUND only
     upcoming = _WINDOW_ROUND
+    # Effective index: position in the successful-round sequence, with
+    # the upcoming round projected as the next success. Never-seen
+    # queries get index 0 (always stale unless windowed).
+    seq = g.successful_rounds() + [upcoming]
+    eff = {rnd: i for i, rnd in enumerate(seq, start=1)}
     window = set(_DRIVER_WINDOW)
     stale = {}
     for name in reg:
         projected = upcoming if name in window else rounds.get(name, 0)
-        if upcoming - projected > MAX_STALENESS:
+        if eff[upcoming] - eff.get(projected, 0) > MAX_STALENESS:
             stale[name] = rounds.get(name, None)
     assert not stale, (
-        f"queries left > {MAX_STALENESS} rounds without a driver row "
-        f"(name -> newest row): {stale}"
+        f"queries left > {MAX_STALENESS} successful driver rounds "
+        f"without a row (name -> newest row): {stale}"
     )

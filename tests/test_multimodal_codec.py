@@ -108,3 +108,42 @@ def test_decode_real_rejects_nonpositive_dims(field_off, value):
     struct.pack_into("<i", bmp, field_off, value)
     with pytest.raises(ValueError, match="dimensions"):
         decode_real(bytes(bmp))
+
+
+def test_decode_png_rejects_payload_truncated_in_crc():
+    """ADVICE r08: a payload cut inside a chunk's 4-byte CRC passes the
+    body-length check but used to blow up in struct.unpack_from; it
+    must raise the documented ValueError instead."""
+    from gmall2021_flink_dw_spark.datapipe.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    png = encode_png(3, 2, (7, 8, 9))
+    # IHDR body ends at 8(sig)+8(hdr)+13(body)=29; cut inside its CRC.
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(png[:31])
+
+
+def test_decode_wav_rejects_short_fmt_and_zero_channels():
+    """ADVICE r08: a fmt chunk shorter than 16 bytes, or a PCM-16 fmt
+    declaring 0 channels, raises ValueError (not struct.error /
+    ZeroDivisionError)."""
+    from gmall2021_flink_dw_spark.datapipe.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    wav = bytearray(encode_wav([1, -2, 3], sample_rate=8000))
+    # fmt chunk: tag at 12, length at 16, body at 20 (16 bytes).
+    assert wav[12:16] == b"fmt "
+    short = bytearray(wav)
+    struct.pack_into("<I", short, 16, 8)  # declare an 8-byte fmt body
+    del short[28:36]  # and actually shorten it, keeping chunks aligned
+    with pytest.raises(ValueError, match="truncated WAV fmt"):
+        decode_wav(bytes(short))
+
+    zero_ch = bytearray(wav)
+    struct.pack_into("<H", zero_ch, 22, 0)  # n_channels := 0
+    with pytest.raises(ValueError, match="channel"):
+        decode_wav(bytes(zero_ch))

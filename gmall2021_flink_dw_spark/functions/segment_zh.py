@@ -77,10 +77,10 @@ CLOSED_CLASS_ZH: frozenset[str] = frozenset(
     "在于从向往对给把被将以由为跟同与和及或并而且但则即若虽因"
     "是有没不无非未别勿"
     "都也就才还再又更最很太挺颇皆均各每另只仅约"
-    "我你他她它您谁些"
+    "我你他她它您谁些这那"
     "上下中里外内前后间旁"
     "一二三四五六七八九十百千万亿两几半"
-    "个件条张位名家种类次回遍趟场台部辆架艘根颗粒块片段层排行组批对双副套"
+    "个件条张位名家种类次回遍趟场台部辆架艘根颗粒块片段层排行组批对双副套款"
     "们"
 )
 

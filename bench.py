@@ -137,6 +137,8 @@ HEADLINE = [
     "multimodal_decode_real",
     "multimodal_decode_mixed",
     "tokenizer_tokenize_docs",
+    # added r09:
+    "multimodal_audio_features",
 ]
 
 

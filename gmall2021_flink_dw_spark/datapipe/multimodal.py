@@ -529,6 +529,225 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
     return sample_rate, n_channels, len(samples) // n_channels, sum(samples)
 
 
+# ---------------------------------------------- real GIF codec (r09)
+#
+# Third image format for the mixed lane: GIF87a with the REAL
+# variable-code-width LZW algorithm (the same compression JPEG-era
+# browsers shipped), not a stored/uncompressed shortcut. The encoder
+# and decoder implement the classic asymmetric code-width growth —
+# encoder widens at next_code == (1 << width) + 1, decoder at
+# next_code == (1 << width) because its dictionary lags one entry —
+# which is exactly the off-by-one that breaks naive implementations.
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+_GIF_MAX_CODE_SIZE = 12
+
+
+def _lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """GIF LZW: variable code width, LSB-first bit packing."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code, width = eoi + 1, mcs + 1
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < _GIF_MAX_CODE_SIZE:
+            width += 1
+        if next_code == (1 << _GIF_MAX_CODE_SIZE):
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code, width = eoi + 1, mcs + 1
+        w = (int(k),)
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, max_pixels: int) -> list[int]:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    next_code, width = eoi + 1, mcs + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    buf = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ended without EOI")
+            buf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table = dict(base)
+            next_code, width = eoi + 1, mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt GIF LZW code {code}")
+        out.extend(entry)
+        if len(out) > max_pixels:
+            raise ValueError("GIF LZW output exceeds declared dimensions")
+        if prev is not None and next_code < (1 << _GIF_MAX_CODE_SIZE):
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < _GIF_MAX_CODE_SIZE:
+                width += 1
+        prev = entry
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    indices: list[int],
+) -> bytes:
+    """Real GIF87a: logical screen descriptor, global color table
+    (padded to a power of two), one image descriptor, LZW-compressed
+    pixel indices in 255-byte sub-blocks, trailer."""
+    if len(indices) != width * height:
+        raise ValueError("index array does not match dimensions")
+    n = max(2, len(palette))
+    depth = max(1, (n - 1).bit_length())  # palette slots = 2**depth
+    slots = 1 << depth
+    gct = bytearray()
+    for r, g, b in palette:
+        gct += bytes((r, g, b))
+    gct += b"\x00" * (3 * (slots - len(palette)))
+    mcs = max(2, depth)
+    lzw = _lzw_encode(indices, mcs)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes((len(chunk),)) + chunk
+    return (
+        b"GIF87a"
+        + struct.pack("<HH", width, height)
+        + bytes((0x80 | ((depth - 1) & 7) << 4 | (depth - 1), 0, 0))
+        + bytes(gct)
+        + b"\x2C"
+        + struct.pack("<HHHH", 0, 0, width, height)
+        + b"\x00"
+        + bytes((mcs,))
+        + bytes(blocks)
+        + b"\x00\x3B"
+    )
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL GIF decoder: header + screen descriptor parse, global color
+    table, extension skip, full variable-code-width LZW inflate, palette
+    mapping. Returns (width, height, palette_size, pixel_sum) where
+    pixel_sum is the sum of decoded RGB bytes — the same checksum
+    contract as decode_real/decode_png. Local color tables and
+    interlace raise ValueError (absent from the generated corpus)."""
+    if len(payload) < 13 or payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload (missing signature)")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        slots = 2 << (packed & 7)
+        if pos + 3 * slots > len(payload):
+            raise ValueError("truncated GIF global color table")
+        for i in range(slots):
+            palette.append(tuple(payload[pos + 3 * i : pos + 3 * i + 3]))
+        pos += 3 * slots
+    while pos < len(payload):
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            raise ValueError("GIF contains no image data")
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                n = payload[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unexpected GIF block marker 0x{marker:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        _, _, iw, ih = struct.unpack_from("<HHHH", payload, pos)
+        flags = payload[pos + 8]
+        pos += 9
+        if flags & 0x80:
+            raise ValueError("GIF local color tables not supported")
+        if flags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        if iw <= 0 or ih <= 0:
+            raise ValueError(f"invalid GIF dimensions {iw}x{ih}")
+        if not palette:
+            raise ValueError("GIF image without a color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"invalid GIF LZW min code size {mcs}")
+        lzw = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF data sub-blocks")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            if pos + n > len(payload):
+                raise ValueError("truncated GIF data sub-blocks")
+            lzw += payload[pos : pos + n]
+            pos += n
+        indices = _lzw_decode(bytes(lzw), mcs, iw * ih)
+        if len(indices) != iw * ih:
+            raise ValueError(
+                f"GIF pixel count {len(indices)} != {iw}x{ih}"
+            )
+        if max(indices) >= len(palette):
+            raise ValueError("GIF pixel index outside color table")
+        total = 0
+        for idx in indices:
+            r, g, b = palette[idx]
+            total += r + g + b
+        return iw, ih, len(palette), total
+    raise ValueError("truncated GIF: missing trailer")
+
+
 # ------------------------------------------- mixed-modality lane (r08)
 
 MIXED_DECODED_SCHEMA = (
@@ -538,11 +757,12 @@ MIXED_DECODED_SCHEMA = (
 
 
 def attach_mixed_payload(docs: DataFrame) -> DataFrame:
-    """Ingest a MIXED-modality corpus: doc_id % 3 picks the real format
-    (0 -> BMP, 1 -> PNG, 2 -> WAV), parameters derive from doc_id and
-    md5(text) exactly like the BMP lane, so every decoded field has a
-    closed form a SQL oracle recomputes. WAV samples are the ramp
-    ((doc_id*31 + i*7) mod 65536) - 32768 over i in [0, n)."""
+    """Ingest a MIXED-modality corpus: doc_id % 4 picks the real format
+    (0 -> BMP, 1 -> PNG, 2 -> WAV, 3 -> GIF), parameters derive from
+    doc_id and md5(text) exactly like the BMP lane, so every decoded
+    field has a closed form a SQL oracle recomputes. WAV samples are
+    the ramp ((doc_id*31 + i*7) mod 65536) - 32768 over i in [0, n);
+    the GIF is a solid color through the real LZW path."""
     src = docs.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
 
     def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -551,16 +771,21 @@ def attach_mixed_payload(docs: DataFrame) -> DataFrame:
             for doc_id, h in zip(pdf["doc_id"], pdf["content_hash"]):
                 d = int(doc_id)
                 c = int(h[:2], 16)
-                kind = d % 3
+                kind = d % 4
                 if kind == 0:
                     payloads.append(encode_bmp(d % 13 + 1, d % 7 + 1, (c, c, c)))
                 elif kind == 1:
                     payloads.append(encode_png(d % 11 + 1, d % 5 + 1, (c, c, c)))
-                else:
+                elif kind == 2:
                     n = d % 100 + 10
                     samples = [((d * 31 + i * 7) % 65536) - 32768
                                for i in range(n)]
                     payloads.append(encode_wav(samples))
+                else:
+                    w, hh = d % 9 + 1, d % 6 + 1
+                    payloads.append(
+                        encode_gif(w, hh, [(c, c, c)], [0] * (w * hh))
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return src.mapInPandas(encode_batch, "doc_id long, payload binary")
@@ -585,6 +810,9 @@ def decode_mixed_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             elif p[:4] == b"RIFF":
                 sr, _, n, s = decode_wav(p)
                 row = ("wav", None, None, sr, n, s)
+            elif p[:6] in _GIF_SIGS:
+                w, h, _, s = decode_gif(p)
+                row = ("gif", w, h, None, None, s)
             else:
                 raise ValueError(f"unknown media magic {p[:8]!r}")
             fmt, w, h, sr, n, s = row
@@ -608,3 +836,64 @@ def decode_mixed_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 def decode_mixed_features(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(decode_mixed_batch, MIXED_DECODED_SCHEMA)
+
+
+# --------------------------------------- audio feature extraction (r09)
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, duration_us long, "
+    "energy long, zero_crossings int, peak int"
+)
+
+
+def audio_features_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode each RIFF/WAVE payload and extract the classic integer-
+    exact audio features: total energy (sum of squared PCM-16 samples —
+    max 32768^2 * n, far inside int64), zero-crossing count (strict
+    sign change: s[i-1]*s[i] < 0), peak amplitude, and duration in
+    integer microseconds. numpy int64 vector math per payload — no
+    float enters, so the features are bit-identical on any engine."""
+    import array
+
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "sample_rate", "n_samples", "duration_us",
+            "energy", "zero_crossings", "peak")}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            sr, _, n, _ = decode_wav(bytes(p))
+            samples = array.array("h")
+            # re-extract the PCM block: decode_wav validated the layout
+            body = bytes(p)
+            pos, data = 12, b""
+            while pos + 8 <= len(body):
+                tag = body[pos : pos + 4]
+                (length,) = struct.unpack_from("<I", body, pos + 4)
+                if tag == b"data":
+                    data = body[pos + 8 : pos + 8 + length]
+                pos += 8 + length + (length & 1)
+            samples.frombytes(data)
+            s = np.asarray(samples, dtype=np.int64)
+            out["doc_id"].append(doc_id)
+            out["sample_rate"].append(sr)
+            out["n_samples"].append(n)
+            out["duration_us"].append(n * 1_000_000 // sr)
+            out["energy"].append(int(np.sum(s * s)))
+            out["zero_crossings"].append(int(np.sum(s[:-1] * s[1:] < 0)))
+            out["peak"].append(int(np.max(np.abs(s))) if len(s) else 0)
+        yield pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+            "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+            "duration_us": pd.Series(out["duration_us"], dtype="int64"),
+            "energy": pd.Series(out["energy"], dtype="int64"),
+            "zero_crossings": pd.Series(out["zero_crossings"], dtype="int32"),
+            "peak": pd.Series(out["peak"], dtype="int32"),
+        })
+
+
+def extract_audio_features(with_payload: DataFrame) -> DataFrame:
+    return with_payload.mapInPandas(audio_features_batch, AUDIO_FEATURES_SCHEMA)

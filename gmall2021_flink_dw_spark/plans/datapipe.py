@@ -465,38 +465,43 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_mixed",
     oracle="""
     SELECT doc_id,
-      CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
-           ELSE 'wav' END AS fmt,
-      CASE doc_id % 3 WHEN 0 THEN (doc_id % 13 + 1)::INT
-           WHEN 1 THEN (doc_id % 11 + 1)::INT END AS width,
-      CASE doc_id % 3 WHEN 0 THEN (doc_id % 7 + 1)::INT
-           WHEN 1 THEN (doc_id % 5 + 1)::INT END AS height,
-      CASE WHEN doc_id % 3 = 2 THEN 16000::INT END AS sample_rate,
-      CASE WHEN doc_id % 3 = 2
+      CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+           WHEN 2 THEN 'wav' ELSE 'gif' END AS fmt,
+      CASE doc_id % 4 WHEN 0 THEN (doc_id % 13 + 1)::INT
+           WHEN 1 THEN (doc_id % 11 + 1)::INT
+           WHEN 3 THEN (doc_id % 9 + 1)::INT END AS width,
+      CASE doc_id % 4 WHEN 0 THEN (doc_id % 7 + 1)::INT
+           WHEN 1 THEN (doc_id % 5 + 1)::INT
+           WHEN 3 THEN (doc_id % 6 + 1)::INT END AS height,
+      CASE WHEN doc_id % 4 = 2 THEN 16000::INT END AS sample_rate,
+      CASE WHEN doc_id % 4 = 2
            THEN (doc_id % 100 + 10)::INT END AS n_samples,
-      CASE doc_id % 3
+      CASE doc_id % 4
         WHEN 0 THEN 3 * (doc_id % 13 + 1) * (doc_id % 7 + 1)
                     * ('0x' || substr(md5(text), 1, 2))::BIGINT
         WHEN 1 THEN 3 * (doc_id % 11 + 1) * (doc_id % 5 + 1)
+                    * ('0x' || substr(md5(text), 1, 2))::BIGINT
+        WHEN 3 THEN 3 * (doc_id % 9 + 1) * (doc_id % 6 + 1)
                     * ('0x' || substr(md5(text), 1, 2))::BIGINT
         ELSE CAST(list_sum(list_transform(range(0, doc_id % 100 + 10),
              i -> ((doc_id * 31 + i * 7) % 65536) - 32768)) AS BIGINT)
       END AS checksum
     FROM documents
     """,
-    doc="MIXED-modality real-codec lane (VERDICT r07 item 6): doc_id%3 "
+    doc="MIXED-modality real-codec lane (VERDICT r07 item 6): doc_id%4 "
     "picks the format — real 24-bit BMP, real 8-bit truecolor PNG "
     "(stdlib zlib deflate; the encoder cycles all five PNG filter "
     "types so decode exercises full filter reversal, with chunk CRC "
-    "validation), or real RIFF/WAVE PCM-16 (ramp samples) — and ONE "
+    "validation), real RIFF/WAVE PCM-16 (ramp samples), or real GIF87a "
+    "(r09: full variable-code-width LZW, palette mapping) — and ONE "
     "mapInPandas decode stage dispatches on magic bytes, the shape of "
     "a heterogeneous media lake where a directory is never one format. "
     "All generated parameters derive from doc_id and md5(text), so "
     "width/height/sample_rate/n_samples/checksum all have closed forms "
-    "the oracle recomputes (PNG/BMP checksum = sum of decoded RGB "
+    "the oracle recomputes (PNG/BMP/GIF checksum = sum of decoded RGB "
     "bytes = 3*w*h*color; WAV checksum = sum of the deterministic "
     "int16 ramp). datapipe/multimodal.py:encode_png/decode_png/"
-    "encode_wav/decode_wav/decode_mixed_batch.",
+    "encode_wav/decode_wav/encode_gif/decode_gif/decode_mixed_batch.",
     tags=("datapipe", "multimodal", "udf", "codec"),
 )
 def multimodal_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,6 +513,52 @@ def multimodal_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     docs = load_table(spark, sf_dir, "documents")
     return decode_mixed_features(attach_mixed_payload(docs))
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, doc_id % 100 + 10 AS n,
+             list_transform(range(0, doc_id % 100 + 10),
+                 i -> ((doc_id * 31 + i * 7) % 65536) - 32768) AS s
+      FROM documents WHERE doc_id % 4 = 2
+    )
+    SELECT doc_id,
+           16000::INT AS sample_rate,
+           n::INT AS n_samples,
+           (n * 1000000 // 16000)::BIGINT AS duration_us,
+           CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT)
+             AS energy,
+           CAST(len(list_filter(range(1, n),
+                i -> s[i] * s[i + 1] < 0)) AS INT) AS zero_crossings,
+           CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak
+    FROM w
+    """,
+    doc="Audio FEATURE EXTRACTION over real decoded WAV payloads (the "
+    "brief's decode/feature-extract lane, beyond plumbing): the audio "
+    "slice of the mixed corpus (doc_id%4=2 — the filter lands on the "
+    "parquet scan before any payload is built) is decoded and reduced "
+    "to the classic integer-exact features — energy (sum of squared "
+    "PCM-16 samples, int64), zero-crossing count (strict sign change), "
+    "peak amplitude, duration in integer microseconds. No float enters "
+    "the kernel, so every field is bit-exact against the oracle's "
+    "closed-form ramp recomputation. 100 TB shape: embarrassingly "
+    "parallel mapInPandas (numpy int64 vector math per payload), no "
+    "shuffle at all. datapipe/multimodal.py:audio_features_batch.",
+    tags=("datapipe", "multimodal", "udf", "audio"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.multimodal import (
+        attach_mixed_payload,
+        extract_audio_features,
+    )
+
+    ensure_workers_can_import(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 2
+    )
+    return extract_audio_features(attach_mixed_payload(docs))
 
 
 _EMB_DEDUP_ORACLE = """

@@ -128,8 +128,8 @@ _WINDOW_ROUND = 9
 # dws_sales_rollup, ads_order_quantiles, tpch_q2_mincost,
 # tpch_q8_marketshare, tpch_q9_profit, tpch_q11_importance,
 # tpch_q13_custdist, tpch_q17_smallqty, tpch_q21_waiting, tpch_q22_inactive,
-# tpch_q20_excess, sample_training_mix.
-# Plus any fill displaced by r09 new queries (see tail of this list).
+# tpch_q20_excess, sample_training_mix, text_token_counts (displaced by
+# the r09 new query multimodal_audio_features).
 # Total = 50.
 _DRIVER_WINDOW = (
     # (a) newest=r05, at the staleness bound
@@ -163,6 +163,7 @@ _DRIVER_WINDOW = (
     "streaming_hopping_stats",
     # (b) new this round / zero driver evidence — swapped in as they land
     "multimodal_decode_mixed",
+    "multimodal_audio_features",
     # (c) r06-cohort fill, registration order
     "text_stats",
     "lang_id",
@@ -184,7 +185,6 @@ _DRIVER_WINDOW = (
     "pack_sequences",
     "dedup_survivors_by_quality",
     "multimodal_resize",
-    "text_token_counts",
 )
 
 

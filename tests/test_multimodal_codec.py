@@ -147,3 +147,77 @@ def test_decode_wav_rejects_short_fmt_and_zero_channels():
     struct.pack_into("<H", zero_ch, 22, 0)  # n_channels := 0
     with pytest.raises(ValueError, match="channel"):
         decode_wav(bytes(zero_ch))
+
+
+# ----------------------------------------------- real GIF codec (r09)
+
+from gmall2021_flink_dw_spark.datapipe.multimodal import (  # noqa: E402
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+)
+
+
+def test_gif_solid_roundtrip_closed_form():
+    for w, h, c in [(1, 1, 0), (13, 7, 255), (9, 6, 171)]:
+        g = encode_gif(w, h, [(c, c, c)], [0] * (w * h))
+        iw, ih, ncolors, s = decode_gif(g)
+        assert (iw, ih) == (w, h)
+        assert s == 3 * w * h * c  # the oracle's closed form
+        assert ncolors == 2  # 1-entry palette pads to two slots
+
+
+def test_gif_pattern_roundtrip_all_palette_sizes():
+    """Non-solid pixels across palette sizes 2..256 exercise real LZW
+    dictionary growth through every code width."""
+    import random
+
+    rng = random.Random(7)
+    for npal in (2, 4, 16, 256):
+        pal = [(rng.randrange(256),) * 3 for _ in range(npal)]
+        w, h = 101, 83
+        idx = [rng.randrange(npal) for _ in range(w * h)]
+        iw, ih, ncolors, s = decode_gif(encode_gif(w, h, pal, idx))
+        assert (iw, ih, ncolors) == (w, h, npal if npal > 1 else 2)
+        assert s == sum(sum(pal[i]) for i in idx)
+
+
+def test_gif_lzw_dictionary_reset_at_4096():
+    """A 200k-symbol low-repetition stream forces the 12-bit ceiling
+    and the clear-code dictionary reset — the path a short image never
+    touches."""
+    idx = [(i * i + i // 3) % 256 for i in range(200_000)]
+    enc = _lzw_encode(idx, 8)
+    assert _lzw_decode(enc, 8, len(idx)) == idx
+    assert len(enc) < len(idx)  # it actually compresses
+
+
+def test_gif_lzw_kwkwk_case():
+    """code == next_code (the KwKwK special case in the spec)."""
+    idx = [0, 1] * 500
+    enc = _lzw_encode(idx, 2)
+    assert _lzw_decode(enc, 2, len(idx)) == idx
+
+
+def test_gif_rejects_malformed():
+    g = encode_gif(5, 4, [(10, 10, 10), (200, 200, 200)], [0, 1] * 10)
+    # every truncation point raises ValueError (never struct/KeyError),
+    # except cuts landing after the complete image stream
+    for cut in range(1, len(g) - 2):
+        with pytest.raises(ValueError):
+            decode_gif(g[:cut])
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTGIF" + g[6:])
+    # corrupt LZW: flip a data byte inside the single sub-block
+    bad = bytearray(g)
+    data_start = 13 + 6 + 10 + 1 + 1  # hdr+gct+imgdesc+mcs+blocklen
+    bad[data_start] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_gif(bytes(bad))
+    # declared dimensions larger than the pixel stream
+    short = bytearray(g)
+    struct.pack_into("<H", short, 6 + 0, 500)   # screen width
+    struct.pack_into("<H", short, 13 + 6 + 5, 500)  # image width
+    with pytest.raises(ValueError):
+        decode_gif(bytes(short))

@@ -139,6 +139,7 @@ HEADLINE = [
     "tokenizer_tokenize_docs",
     # added r09:
     "multimodal_audio_features",
+    "dedup_substring_spans",
 ]
 
 

@@ -500,3 +500,88 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ------------------------------------ exact substring-span dedup (r09)
+
+
+def duplicated_substring_spans(docs: DataFrame, min_len: int = 50) -> DataFrame:
+    """EXACT substring-level dedup (the ExactSubstr operator of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): find every position whose ``min_len``-char substring
+    occurs more than once ANYWHERE in the corpus (cross-doc or
+    self-repeat), then merge per-doc hit positions into maximal
+    contiguous duplicated spans. Returns one row per affected doc:
+    (doc_id, dup_spans, dup_chars) — span count and total characters
+    covered by the merged spans. All-integer kernel, bit-exact.
+
+    Plan: ONE documents scan (doc_id + text only) -> explode to
+    (doc_id, pos, gram) -> the narrow gram stream is persisted and
+    feeds BOTH the corpus-wide frequency agg and the hit join (same
+    shuffle key, so AQE reuses the exchange) -> per-doc window merge
+    (running max of span end over preceding rows; a position beyond it
+    starts a new span -> cumulative sum numbers the spans) -> two
+    same-key aggs. Interval-union correctness: every interval in a
+    merged group starts at or before the running union end, so the
+    union stays one contiguous interval [min(pos), max(pos)+L).
+
+    100 TB shape: the gram stream is corpus_chars rows x ~58 bytes —
+    linear, never collected; at that scale the shuffle key swaps to
+    xxhash64(gram) (collision odds n^2/2^64, the standard trade the
+    paper's suffix-array avoids at much higher constant cost) and the
+    persist is dropped in favor of recomputing the stream per branch;
+    both are knobs on this exact plan, not a different algorithm.
+    """
+    # Repartition BEFORE the explode: the gram stream is ~min_len x the
+    # input, so parallelism must track the OUTPUT volume, not the scan's
+    # file-split count (locally one small parquet file = one task doing
+    # the whole 50x expansion). Shuffling 1 unit of input to parallelize
+    # 50 units of expansion work is the right trade at every scale. The
+    # partition count is explicit — an advisory repartition("doc_id")
+    # lets AQE coalesce the tiny pre-explode shuffle right back to one
+    # partition, which is exactly the skew being fixed.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    grams = tracked_persist(
+        docs.where(F.length("text") >= min_len)
+        .select("doc_id", "text")
+        .repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.length("text") - min_len)
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.col("text").substr(F.col("pos") + 1, F.lit(min_len)).alias("gram"),
+        )
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_end = F.max(F.col("pos") + min_len).over(w_prev)
+    marked = hits.withColumn(
+        "is_start",
+        F.when(F.col("pos") > F.coalesce(run_end, F.lit(-1)), 1).otherwise(0),
+    )
+    w_cum = Window.partitionBy("doc_id").orderBy("pos")
+    numbered = marked.withColumn("span_id", F.sum("is_start").over(w_cum))
+    spans = numbered.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + min_len).alias("e"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("dup_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_chars"),
+    )

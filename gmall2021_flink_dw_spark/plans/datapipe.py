@@ -561,6 +561,58 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(attach_mixed_payload(docs))
 
 
+@register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, u.i AS pos, substr(text, u.i + 1, 50) AS gram
+      FROM documents
+      CROSS JOIN LATERAL unnest(range(0, greatest(len(text) - 49, 0)))
+           AS u(i)
+      WHERE len(text) >= 50
+    ), d AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+    ), hits AS (
+      SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 50) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_start
+      FROM hits
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS span_id
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, span_id, min(pos) AS s, max(pos) + 50 AS e
+      FROM grp GROUP BY doc_id, span_id
+    )
+    SELECT doc_id, count(*)::INT AS dup_spans,
+           CAST(sum(e - s) AS BIGINT) AS dup_chars
+    FROM spans GROUP BY doc_id
+    """,
+    doc="EXACT substring-level dedup (ExactSubstr, Lee et al. 2022 — "
+    "the training-data op document/paragraph-level dedup misses: "
+    "boilerplate repeated INSIDE otherwise-unique pages): every "
+    "position whose 50-char substring occurs >1 time anywhere in the "
+    "corpus, merged per doc into maximal spans via a running-max "
+    "window; emits (doc_id, dup_spans, dup_chars), all-integer. One "
+    "2-column scan, gram agg + hit join on the same shuffle key, two "
+    "same-key aggs. datapipe/dedup.py:duplicated_substring_spans.",
+    tags=("datapipe", "dedup", "window"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.dedup import (
+        duplicated_substring_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_substring_spans(docs, min_len=50)
+
+
 _EMB_DEDUP_ORACLE = """
     WITH v AS (
       SELECT vec_id, embedding,

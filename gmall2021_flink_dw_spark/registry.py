@@ -128,8 +128,9 @@ _WINDOW_ROUND = 9
 # dws_sales_rollup, ads_order_quantiles, tpch_q2_mincost,
 # tpch_q8_marketshare, tpch_q9_profit, tpch_q11_importance,
 # tpch_q13_custdist, tpch_q17_smallqty, tpch_q21_waiting, tpch_q22_inactive,
-# tpch_q20_excess, sample_training_mix, text_token_counts (displaced by
-# the r09 new query multimodal_audio_features).
+# tpch_q20_excess, sample_training_mix, text_token_counts,
+# multimodal_resize (the last two displaced by the r09 new queries
+# multimodal_audio_features and dedup_substring_spans).
 # Total = 50.
 _DRIVER_WINDOW = (
     # (a) newest=r05, at the staleness bound
@@ -164,6 +165,7 @@ _DRIVER_WINDOW = (
     # (b) new this round / zero driver evidence — swapped in as they land
     "multimodal_decode_mixed",
     "multimodal_audio_features",
+    "dedup_substring_spans",
     # (c) r06-cohort fill, registration order
     "text_stats",
     "lang_id",
@@ -184,7 +186,6 @@ _DRIVER_WINDOW = (
     "tfidf_top_terms",
     "pack_sequences",
     "dedup_survivors_by_quality",
-    "multimodal_resize",
 )
 
 

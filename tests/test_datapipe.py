@@ -749,3 +749,45 @@ def test_bpe_train_matches_python_reference(spark):
     expected = ref_bpe(dict(words), 8)
     got, _ = _train_merges(spark, UNIT_SF, n_merges=8)
     assert got == expected
+
+
+# ------------------------------------ exact substring-span dedup (r09)
+
+
+def test_substring_spans_hand_corpus(spark):
+    """Hand-built corpus with known duplicated 10-char substrings:
+    cross-doc repeats, a self-repeat inside one doc, overlap merging,
+    and a unique doc that must not appear."""
+    from gmall2021_flink_dw_spark.datapipe.dedup import (
+        duplicated_substring_spans,
+    )
+
+    A = "ABCDEFGHIJ"  # 10 chars, shared by docs 1/2
+    B = "0123456789"
+    docs = spark.createDataFrame(
+        [
+            # doc 1: A at pos 0 and pos 15 (self+cross repeat)
+            (1, A + "xxxxx" + A + "zzzzz"),
+            # doc 2: A at pos 3 — every 10-gram overlapping A's chars
+            # only matches where the full window equals A itself
+            (2, "qqq" + A + "wwwwwww"),
+            # doc 3: B twice back-to-back: grams at 0..10 all duplicated
+            # (B at 0, B at 10, and each straddling window w repeats 10
+            # apart), merging into ONE span [0, 20)
+            (3, B + B),
+            # doc 4: unique text, no duplicated gram
+            (4, "nothing-here-repeats-at-all!"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["dup_spans"], r["dup_chars"])
+        for r in duplicated_substring_spans(docs, min_len=10).collect()
+    }
+    # doc 1: spans [0,10) and [15,25) — NOT merged (gap of 5)
+    # doc 2: span [3,13)
+    # doc 3: straddling grams at pos 1..9 also occur nowhere else?
+    #   gram(pos p) of "BB" = rotation of B; "BB" contains each rotation
+    #   twice (pos p and p+10), so positions 0..10 are all hits,
+    #   merging to one span [0, 20)
+    assert out == {1: (2, 20), 2: (1, 10), 3: (1, 20)}

@@ -77,6 +77,11 @@ INVARIANT_QUERIES = [
     # r07: integer-exact broadcast-join apply — counts must not depend
     # on layout
     "tokenizer_tokenize_docs",
+    # r09: gram explode behind an explicit pre-explode repartition +
+    # running-max window span merge — span numbering must be identical
+    # under any layout (pos is unique per doc, so the window order is
+    # total)
+    "dedup_substring_spans",
 ]
 
 

@@ -140,6 +140,7 @@ HEADLINE = [
     # added r09:
     "multimodal_audio_features",
     "dedup_substring_spans",
+    "multimodal_image_stats",
 ]
 
 

@@ -897,3 +897,117 @@ def audio_features_batch(
 
 def extract_audio_features(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(audio_features_batch, AUDIO_FEATURES_SCHEMA)
+
+
+# --------------------------------------- image feature extraction (r09)
+#
+# The image analog of the audio lane — and an upgrade of the BMP codec
+# from solid-color-only to true per-pixel content: the encoder takes an
+# arbitrary gray-value array, the decoder walks the padded bottom-up
+# rows back out, and the features (brightness sum, min/max, 8-bin
+# histogram) are integer-exact order-free reductions.
+
+
+def encode_bmp_gray(width: int, height: int, values: list[int]) -> bytes:
+    """Real uncompressed 24-bit BMP with per-pixel gray values
+    (b=g=r=v), ``values`` in storage order (bottom-up rows,
+    left-to-right), rows zero-padded to 4-byte stride."""
+    if len(values) != width * height:
+        raise ValueError("value array does not match dimensions")
+    stride = (3 * width + 3) // 4 * 4
+    img_size = stride * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size,
+        2835, 2835, 0, 0,
+    )
+    pad = b"\x00" * (stride - 3 * width)
+    body = bytearray()
+    for y in range(height):
+        for v in values[y * width : (y + 1) * width]:
+            body += bytes((v, v, v))
+        body += pad
+    return header + bytes(body)
+
+
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a 24-bit BMP to (width, height, packed BGR bytes with the
+    row padding stripped, rows in storage order). Validates exactly
+    like decode_real, then extracts the pixel array row by row."""
+    w, h, _, _ = decode_real(payload)
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    stride = (3 * w + 3) // 4 * 4
+    rows = bytearray()
+    for y in range(h):
+        start = offset + y * stride
+        rows += payload[start : start + 3 * w]
+    return w, h, bytes(rows)
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id long, width int, height int, brightness_sum long, "
+    "v_min int, v_max int, h0 int, h1 int, h2 int, h3 int, "
+    "h4 int, h5 int, h6 int, h7 int"
+)
+
+
+def image_stats_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode each patterned BMP and reduce the gray channel to
+    integer-exact features: total brightness, min/max value, and an
+    8-bin histogram (bin = v >> 5). numpy int64 vector math; the
+    reductions are order-free, so row layout and padding handling
+    cannot affect them."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "width", "height", "brightness_sum",
+            "v_min", "v_max", *(f"h{b}" for b in range(8)))}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, bgr = decode_bmp_pixels(bytes(p))
+            gray = np.frombuffer(bgr, dtype=np.uint8)[0::3].astype(np.int64)
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["brightness_sum"].append(int(gray.sum()))
+            out["v_min"].append(int(gray.min()))
+            out["v_max"].append(int(gray.max()))
+            hist = np.bincount(gray >> 5, minlength=8)
+            for b in range(8):
+                out[f"h{b}"].append(int(hist[b]))
+        yield pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "width": pd.Series(out["width"], dtype="int32"),
+            "height": pd.Series(out["height"], dtype="int32"),
+            "brightness_sum": pd.Series(out["brightness_sum"], dtype="int64"),
+            "v_min": pd.Series(out["v_min"], dtype="int32"),
+            "v_max": pd.Series(out["v_max"], dtype="int32"),
+            **{f"h{b}": pd.Series(out[f"h{b}"], dtype="int32")
+               for b in range(8)},
+        })
+
+
+def attach_patterned_bmp(docs: DataFrame) -> DataFrame:
+    """Every doc gets a patterned gray BMP: w = doc_id%12+2,
+    h = doc_id%8+2, pixel i (storage order) = (doc_id*7 + i*13) % 256 —
+    a closed form the SQL oracle recomputes pixel by pixel."""
+    src = docs.select("doc_id")
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 12 + 2, d % 8 + 2
+                vals = [(d * 7 + i * 13) % 256 for i in range(w * h)]
+                payloads.append(encode_bmp_gray(w, h, vals))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return src.mapInPandas(encode_batch, "doc_id long, payload binary")
+
+
+def extract_image_stats(with_payload: DataFrame) -> DataFrame:
+    return with_payload.mapInPandas(image_stats_batch, IMAGE_STATS_SCHEMA)

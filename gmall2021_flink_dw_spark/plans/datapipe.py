@@ -562,6 +562,55 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id % 12 + 2)::INT AS width,
+             (doc_id % 8 + 2)::INT AS height,
+             list_transform(
+               range(0, (doc_id % 12 + 2) * (doc_id % 8 + 2)),
+               i -> (doc_id * 7 + i * 13) % 256) AS v
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(list_sum(v) AS BIGINT) AS brightness_sum,
+           CAST(list_min(v) AS INT) AS v_min,
+           CAST(list_max(v) AS INT) AS v_max,
+           CAST(len(list_filter(v, x -> x // 32 = 0)) AS INT) AS h0,
+           CAST(len(list_filter(v, x -> x // 32 = 1)) AS INT) AS h1,
+           CAST(len(list_filter(v, x -> x // 32 = 2)) AS INT) AS h2,
+           CAST(len(list_filter(v, x -> x // 32 = 3)) AS INT) AS h3,
+           CAST(len(list_filter(v, x -> x // 32 = 4)) AS INT) AS h4,
+           CAST(len(list_filter(v, x -> x // 32 = 5)) AS INT) AS h5,
+           CAST(len(list_filter(v, x -> x // 32 = 6)) AS INT) AS h6,
+           CAST(len(list_filter(v, x -> x // 32 = 7)) AS INT) AS h7
+    FROM p
+    """,
+    doc="Image FEATURE EXTRACTION over real PATTERNED BMPs (the image "
+    "analog of multimodal_audio_features, upgrading the BMP lane from "
+    "solid-color payloads to true per-pixel content): each doc gets a "
+    "gray BMP whose pixel i = (doc_id*7 + i*13) % 256; decode walks "
+    "the padded bottom-up rows back out and reduces the gray channel "
+    "to brightness sum, min/max, and an 8-bin histogram — all order-"
+    "free integer reductions, bit-exact against the oracle's closed-"
+    "form pixel recomputation. 100 TB shape: embarrassingly parallel "
+    "mapInPandas, zero shuffles. datapipe/multimodal.py:"
+    "encode_bmp_gray/decode_bmp_pixels/image_stats_batch.",
+    tags=("datapipe", "multimodal", "udf", "codec"),
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.multimodal import (
+        attach_patterned_bmp,
+        extract_image_stats,
+    )
+
+    ensure_workers_can_import(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_image_stats(attach_patterned_bmp(docs))
+
+
+@register(
     "dedup_substring_spans",
     oracle="""
     WITH g AS (

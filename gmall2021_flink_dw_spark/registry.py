@@ -129,8 +129,9 @@ _WINDOW_ROUND = 9
 # tpch_q8_marketshare, tpch_q9_profit, tpch_q11_importance,
 # tpch_q13_custdist, tpch_q17_smallqty, tpch_q21_waiting, tpch_q22_inactive,
 # tpch_q20_excess, sample_training_mix, text_token_counts,
-# multimodal_resize (the last two displaced by the r09 new queries
-# multimodal_audio_features and dedup_substring_spans).
+# multimodal_resize, dedup_survivors_by_quality (the last three
+# displaced by the r09 new queries multimodal_audio_features,
+# dedup_substring_spans, multimodal_image_stats).
 # Total = 50.
 _DRIVER_WINDOW = (
     # (a) newest=r05, at the staleness bound
@@ -166,6 +167,7 @@ _DRIVER_WINDOW = (
     "multimodal_decode_mixed",
     "multimodal_audio_features",
     "dedup_substring_spans",
+    "multimodal_image_stats",
     # (c) r06-cohort fill, registration order
     "text_stats",
     "lang_id",
@@ -185,7 +187,6 @@ _DRIVER_WINDOW = (
     "corpus_contamination",
     "tfidf_top_terms",
     "pack_sequences",
-    "dedup_survivors_by_quality",
 )
 
 

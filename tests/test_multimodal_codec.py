@@ -221,3 +221,37 @@ def test_gif_rejects_malformed():
     struct.pack_into("<H", short, 13 + 6 + 5, 500)  # image width
     with pytest.raises(ValueError):
         decode_gif(bytes(short))
+
+
+# ------------------------------------------ patterned BMP lane (r09)
+
+from gmall2021_flink_dw_spark.datapipe.multimodal import (  # noqa: E402
+    decode_bmp_pixels,
+    encode_bmp_gray,
+)
+
+
+def test_bmp_gray_roundtrip_pattern():
+    """Per-pixel values survive the padded bottom-up row layout: the
+    decoded BGR stream (padding stripped) reproduces the input values
+    at widths hitting every stride-padding case (3w % 4 in 0..3)."""
+    for w in (2, 3, 4, 5):
+        h = 3
+        vals = [(7 * i + 11) % 256 for i in range(w * h)]
+        bmp = encode_bmp_gray(w, h, vals)
+        iw, ih, bgr = decode_bmp_pixels(bmp)
+        assert (iw, ih) == (w, h)
+        assert len(bgr) == 3 * w * h
+        assert list(bgr[0::3]) == vals  # blue channel in storage order
+        assert bgr[0::3] == bgr[1::3] == bgr[2::3]  # gray: b == g == r
+
+
+def test_bmp_gray_rejects_mismatched_values():
+    with pytest.raises(ValueError, match="dimensions"):
+        encode_bmp_gray(4, 4, [0] * 15)
+
+
+def test_bmp_gray_decode_validates_like_decode_real():
+    bmp = encode_bmp_gray(5, 2, list(range(10)))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp_pixels(bmp[:-1])

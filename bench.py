@@ -141,6 +141,8 @@ HEADLINE = [
     "multimodal_audio_features",
     "dedup_substring_spans",
     "multimodal_image_stats",
+    "dedup_substring_clean",
+    "dedup_substring_spans_hashed",
 ]
 
 

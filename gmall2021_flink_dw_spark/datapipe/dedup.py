@@ -505,15 +505,16 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 # ------------------------------------ exact substring-span dedup (r09)
 
 
-def duplicated_substring_spans(docs: DataFrame, min_len: int = 50) -> DataFrame:
+def merged_duplicate_spans(docs: DataFrame, min_len: int = 50) -> DataFrame:
     """EXACT substring-level dedup (the ExactSubstr operator of Lee et
     al. 2022, "Deduplicating Training Data Makes Language Models
     Better"): find every position whose ``min_len``-char substring
     occurs more than once ANYWHERE in the corpus (cross-doc or
     self-repeat), then merge per-doc hit positions into maximal
-    contiguous duplicated spans. Returns one row per affected doc:
-    (doc_id, dup_spans, dup_chars) — span count and total characters
-    covered by the merged spans. All-integer kernel, bit-exact.
+    contiguous duplicated spans. Returns the span table itself —
+    (doc_id, s, e) half-open char intervals — consumed by both the
+    aggregate view (duplicated_substring_spans) and the span remover
+    (remove_duplicate_spans). All-integer kernel, bit-exact.
 
     Plan: ONE documents scan (doc_id + text only) -> explode to
     (doc_id, pos, gram) -> the narrow gram stream is persisted and
@@ -526,33 +527,16 @@ def duplicated_substring_spans(docs: DataFrame, min_len: int = 50) -> DataFrame:
     union stays one contiguous interval [min(pos), max(pos)+L).
 
     100 TB shape: the gram stream is corpus_chars rows x ~58 bytes —
-    linear, never collected; at that scale the shuffle key swaps to
-    xxhash64(gram) (collision odds n^2/2^64, the standard trade the
-    paper's suffix-array avoids at much higher constant cost) and the
-    persist is dropped in favor of recomputing the stream per branch;
-    both are knobs on this exact plan, not a different algorithm.
+    linear, never collected. The measured bottleneck at the third
+    decade (126M grams) is the high-cardinality STRING aggregation
+    itself (sort-agg over 58-char keys, spill-bound); the scale path is
+    merged_duplicate_spans_hashed below, which shuffles an 8-byte
+    xxhash64 key instead — measured 5.2x faster there (36.7 vs 189.9 s,
+    BASELINE.md r09) — with this exact form as its collision-free
+    oracle anchor.
     """
-    # Repartition BEFORE the explode: the gram stream is ~min_len x the
-    # input, so parallelism must track the OUTPUT volume, not the scan's
-    # file-split count (locally one small parquet file = one task doing
-    # the whole 50x expansion). Shuffling 1 unit of input to parallelize
-    # 50 units of expansion work is the right trade at every scale. The
-    # partition count is explicit — an advisory repartition("doc_id")
-    # lets AQE coalesce the tiny pre-explode shuffle right back to one
-    # partition, which is exactly the skew being fixed.
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
     grams = tracked_persist(
-        docs.where(F.length("text") >= min_len)
-        .select("doc_id", "text")
-        .repartition(n_part, "doc_id")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(0), F.length("text") - min_len)
-            ).alias("pos"),
-            "text",
-        )
-        .select(
+        _gram_stream(docs, min_len).select(
             "doc_id",
             "pos",
             F.col("text").substr(F.col("pos") + 1, F.lit(min_len)).alias("gram"),
@@ -565,6 +549,78 @@ def duplicated_substring_spans(docs: DataFrame, min_len: int = 50) -> DataFrame:
         .select("gram")
     )
     hits = grams.join(dup, "gram").select("doc_id", "pos")
+    return _merge_hit_positions(hits, min_len)
+
+
+def merged_duplicate_spans_hashed(
+    docs: DataFrame, min_len: int = 50
+) -> DataFrame:
+    """Scale-path twin of merged_duplicate_spans: the corpus-wide
+    frequency key is xxhash64 of the gram (8 bytes, computed in the
+    same projection that builds the substring, so NO gram string is
+    ever shuffled or persisted) instead of the 50-char gram itself.
+
+    Why it exists (measured, BASELINE.md r09): at the third decade
+    (126M grams) the exact form's string aggregation goes sort-based
+    and spill-bound (189.9 s, a 45x decade ratio); hashing turns it
+    into a fixed-width long agg and cuts the shuffled bytes ~3x —
+    36.7 s, 5.2x faster, decade ratio 14x. Collision contract: a 64-bit collision
+    would mark a unique position as duplicated — odds n^2/2^65 (~5e-4
+    at 126M grams, negligible below ~1e9 grams; swap in a 128-bit hash
+    — e.g. both halves of md5 — beyond that). The driver's oracle for
+    this query is the EXACT SQL recomputation, so any collision at
+    checked scale would surface as a hash mismatch, not hide.
+    """
+    grams = tracked_persist(
+        _gram_stream(docs, min_len).select(
+            "doc_id",
+            "pos",
+            F.xxhash64(
+                F.col("text").substr(F.col("pos") + 1, F.lit(min_len))
+            ).alias("k"),
+        )
+    )
+    dup = (
+        grams.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("k")
+    )
+    hits = grams.join(dup, "k").select("doc_id", "pos")
+    return _merge_hit_positions(hits, min_len)
+
+
+def _gram_stream(docs: DataFrame, min_len: int) -> DataFrame:
+    """(doc_id, pos, text) exploded to every gram start position.
+
+    Repartition BEFORE the explode: the gram stream is ~min_len x the
+    input, so parallelism must track the OUTPUT volume, not the scan's
+    file-split count (locally one small parquet file = one task doing
+    the whole 50x expansion). Shuffling 1 unit of input to parallelize
+    50 units of expansion work is the right trade at every scale. The
+    partition count is explicit — an advisory repartition("doc_id")
+    lets AQE coalesce the tiny pre-explode shuffle right back to one
+    partition, which is exactly the skew being fixed."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.where(F.length("text") >= min_len)
+        .select("doc_id", "text")
+        .repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.length("text") - min_len)
+            ).alias("pos"),
+            "text",
+        )
+    )
+
+
+def _merge_hit_positions(hits: DataFrame, min_len: int) -> DataFrame:
+    """Merge (doc_id, pos) duplicate-gram hits into maximal per-doc
+    spans [s, e): running max of span end over preceding rows; a
+    position beyond it starts a new span; cumulative sum numbers the
+    spans."""
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -581,7 +637,75 @@ def duplicated_substring_spans(docs: DataFrame, min_len: int = 50) -> DataFrame:
         F.min("pos").alias("s"),
         (F.max("pos") + min_len).alias("e"),
     )
-    return spans.groupBy("doc_id").agg(
+    return spans.select("doc_id", "s", "e")
+
+
+def duplicated_substring_spans(docs: DataFrame, min_len: int = 50) -> DataFrame:
+    """Per-doc aggregate view of merged_duplicate_spans: (doc_id,
+    dup_spans, dup_chars) for every doc carrying at least one span."""
+    return merged_duplicate_spans(docs, min_len).groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("dup_spans"),
         F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_chars"),
+    )
+
+
+def remove_duplicate_spans(docs: DataFrame, min_len: int = 50) -> DataFrame:
+    """ExactSubstr's actionable half: CUT the merged duplicated spans
+    out of each doc, emitting (doc_id, clean_text, removed_chars) for
+    EVERY doc (removed_chars = 0 when nothing matched).
+
+    Contract: removes every occurrence of a duplicated span (the
+    strictest form — right for contamination scrubbing; Lee et al.'s
+    keep-one-occurrence variant needs a global first-occurrence
+    election per gram, a straightforward min_by extension left to the
+    caller). Reassembly: segments between consecutive spans (window
+    lag over span starts) are concatenated in span order plus the tail
+    after the last span — all string/integer ops, bit-exact.
+
+    100 TB shape: the span table is tiny relative to the corpus (only
+    duplicated regions), so the reassembly join shuffles spans + one
+    copy of the affected docs; unaffected docs pass through untouched
+    on the null side of the left join.
+    """
+    spans = merged_duplicate_spans(docs, min_len)
+    w = Window.partitionBy("doc_id").orderBy("s")
+    seg = spans.withColumn(
+        "seg_start", F.coalesce(F.lag("e").over(w), F.lit(0))
+    )
+    pieces = seg.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "s",
+        "e",
+        F.expr("substring(text, seg_start + 1, s - seg_start)").alias(
+            "piece"
+        ),
+    )
+    per_doc = pieces.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("s", "piece"))),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, x["piece"]),
+        ).alias("head"),
+        F.max("e").alias("max_e"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("removed_chars"),
+    )
+    return (
+        docs.select("doc_id", "text")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("head").isNull(), F.col("text")
+            )
+            .otherwise(
+                F.concat(
+                    F.col("head"),
+                    F.expr("substring(text, max_e + 1)"),
+                )
+            )
+            .alias("clean_text"),
+            F.coalesce(F.col("removed_chars"), F.lit(0).cast("long")).alias(
+                "removed_chars"
+            ),
+        )
     )

@@ -662,6 +662,134 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_substring_spans(docs, min_len=50)
 
 
+@register(
+    "dedup_substring_spans_hashed",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, u.i AS pos, substr(text, u.i + 1, 50) AS gram
+      FROM documents
+      CROSS JOIN LATERAL unnest(range(0, greatest(len(text) - 49, 0)))
+           AS u(i)
+      WHERE len(text) >= 50
+    ), d AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+    ), hits AS (
+      SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 50) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_start
+      FROM hits
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS span_id
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, span_id, min(pos) AS s, max(pos) + 50 AS e
+      FROM grp GROUP BY doc_id, span_id
+    )
+    SELECT doc_id, count(*)::INT AS dup_spans,
+           CAST(sum(e - s) AS BIGINT) AS dup_chars
+    FROM spans GROUP BY doc_id
+    """,
+    doc="SCALE-PATH twin of dedup_substring_spans: the corpus-wide "
+    "frequency key is xxhash64(gram) — 8 fixed-width bytes computed in "
+    "the projection that builds the substring, so no gram string is "
+    "ever shuffled or persisted. Measured at the third decade (126M "
+    "grams) where the exact form's string sort-agg goes spill-bound "
+    "(BASELINE.md r09). The oracle is the EXACT recomputation: a "
+    "64-bit collision (odds n^2/2^65, ~4e-10 at checked scale) would "
+    "surface as a driver hash mismatch rather than hide. "
+    "datapipe/dedup.py:merged_duplicate_spans_hashed.",
+    tags=("datapipe", "dedup", "window", "approx-scale-path"),
+)
+def dedup_substring_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.dedup import (
+        merged_duplicate_spans_hashed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        merged_duplicate_spans_hashed(docs, min_len=50)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("dup_spans"),
+            F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_chars"),
+        )
+    )
+
+
+@register(
+    "dedup_substring_clean",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, u.i AS pos, substr(text, u.i + 1, 50) AS gram
+      FROM documents
+      CROSS JOIN LATERAL unnest(range(0, greatest(len(text) - 49, 0)))
+           AS u(i)
+      WHERE len(text) >= 50
+    ), d AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+    ), hits AS (
+      SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 50) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_start
+      FROM hits
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS span_id
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, span_id, min(pos) AS s, max(pos) + 50 AS e
+      FROM grp GROUP BY doc_id, span_id
+    ), seg AS (
+      SELECT doc_id, s, e,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+               AS seg_start
+      FROM spans
+    ), per_doc AS (
+      SELECT seg.doc_id,
+             string_agg(substr(text, seg_start + 1, s - seg_start), ''
+                        ORDER BY s) AS head,
+             max(e) AS max_e,
+             CAST(sum(e - s) AS BIGINT) AS removed_chars
+      FROM seg JOIN documents USING (doc_id)
+      GROUP BY seg.doc_id
+    )
+    SELECT documents.doc_id,
+           CASE WHEN head IS NULL THEN text
+                ELSE coalesce(head, '') || substr(text, max_e + 1)
+           END AS clean_text,
+           coalesce(removed_chars, 0)::BIGINT AS removed_chars
+    FROM documents LEFT JOIN per_doc USING (doc_id)
+    """,
+    doc="ExactSubstr's actionable half: CUT the merged duplicated "
+    "50-char spans out of every doc (strictest remove-all-occurrences "
+    "contract — contamination-scrub form; Lee et al.'s keep-one "
+    "variant is a min_by election away), emitting (doc_id, clean_text, "
+    "removed_chars) for all docs. Reassembly = lag-window segments "
+    "concatenated in span order + tail — pure string/integer ops, "
+    "bit-exact including the full cleaned text. "
+    "datapipe/dedup.py:remove_duplicate_spans.",
+    tags=("datapipe", "dedup", "window"),
+)
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, min_len=50)
+
+
 _EMB_DEDUP_ORACLE = """
     WITH v AS (
       SELECT vec_id, embedding,

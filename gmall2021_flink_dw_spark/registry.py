@@ -129,9 +129,11 @@ _WINDOW_ROUND = 9
 # tpch_q8_marketshare, tpch_q9_profit, tpch_q11_importance,
 # tpch_q13_custdist, tpch_q17_smallqty, tpch_q21_waiting, tpch_q22_inactive,
 # tpch_q20_excess, sample_training_mix, text_token_counts,
-# multimodal_resize, dedup_survivors_by_quality (the last three
-# displaced by the r09 new queries multimodal_audio_features,
-# dedup_substring_spans, multimodal_image_stats).
+# multimodal_resize, dedup_survivors_by_quality, tfidf_top_terms,
+# pack_sequences (the last five displaced by the r09 new queries
+# multimodal_audio_features, dedup_substring_spans,
+# multimodal_image_stats, dedup_substring_clean,
+# dedup_substring_spans_hashed).
 # Total = 50.
 _DRIVER_WINDOW = (
     # (a) newest=r05, at the staleness bound
@@ -168,6 +170,8 @@ _DRIVER_WINDOW = (
     "multimodal_audio_features",
     "dedup_substring_spans",
     "multimodal_image_stats",
+    "dedup_substring_clean",
+    "dedup_substring_spans_hashed",
     # (c) r06-cohort fill, registration order
     "text_stats",
     "lang_id",
@@ -185,8 +189,6 @@ _DRIVER_WINDOW = (
     "vocab_top_tokens",
     "dedup_clusters",
     "corpus_contamination",
-    "tfidf_top_terms",
-    "pack_sequences",
 )
 
 

@@ -791,3 +791,50 @@ def test_substring_spans_hand_corpus(spark):
     #   twice (pos p and p+10), so positions 0..10 are all hits,
     #   merging to one span [0, 20)
     assert out == {1: (2, 20), 2: (1, 10), 3: (1, 20)}
+
+
+def test_substring_clean_hand_corpus(spark):
+    """Span REMOVAL on the same hand corpus: cleaned text is the
+    concatenation of kept segments, removed_chars matches the span
+    table, and the no-dup doc passes through byte-identical."""
+    from gmall2021_flink_dw_spark.datapipe.dedup import (
+        remove_duplicate_spans,
+    )
+
+    A = "ABCDEFGHIJ"
+    B = "0123456789"
+    rows = {
+        1: A + "xxxxx" + A + "zzzzz",
+        2: "qqq" + A + "wwwwwww",
+        3: B + B,
+        4: "nothing-here-repeats-at-all!",
+    }
+    docs = spark.createDataFrame(
+        list(rows.items()), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["removed_chars"])
+        for r in remove_duplicate_spans(docs, min_len=10).collect()
+    }
+    assert out[1] == ("xxxxxzzzzz", 20)   # both A spans cut
+    assert out[2] == ("qqqwwwwwww", 10)
+    assert out[3] == ("", 20)             # the whole doc was duplicated
+    assert out[4] == (rows[4], 0)         # untouched pass-through
+
+
+def test_substring_spans_hashed_matches_exact(spark):
+    """The hashed scale path returns bit-identical spans to the exact
+    form on the same corpus (no collisions at this scale)."""
+    from gmall2021_flink_dw_spark.datapipe.dedup import (
+        merged_duplicate_spans,
+        merged_duplicate_spans_hashed,
+    )
+
+    docs = spark.read.parquet(f"{ORACLE_SF}/documents.parquet")
+    exact = sorted(
+        map(tuple, merged_duplicate_spans(docs, 50).collect())
+    )
+    hashed = sorted(
+        map(tuple, merged_duplicate_spans_hashed(docs, 50).collect())
+    )
+    assert exact == hashed and len(exact) > 0

@@ -82,6 +82,9 @@ INVARIANT_QUERIES = [
     # under any layout (pos is unique per doc, so the window order is
     # total)
     "dedup_substring_spans",
+    # r09: full cleaned-TEXT reassembly (array_sort'd fold over
+    # collect_list segments) must be byte-identical under any layout
+    "dedup_substring_clean",
 ]
 
 

@@ -143,6 +143,8 @@ HEADLINE = [
     "multimodal_image_stats",
     "dedup_substring_clean",
     "dedup_substring_spans_hashed",
+    "dedup_substring_clean_keepfirst",
+    "source_jsonl_events",
 ]
 
 

@@ -590,6 +590,40 @@ def merged_duplicate_spans_hashed(
     return _merge_hit_positions(hits, min_len)
 
 
+def remove_duplicate_spans_keepfirst(
+    docs: DataFrame, min_len: int = 50
+) -> DataFrame:
+    """Lee et al.'s actual ExactSubstr contract: keep the globally
+    FIRST occurrence of each duplicated substring and cut the rest.
+    First = min (doc_id, pos) over the gram's occurrences — a total
+    order, so the election is layout-independent. Spans are then built
+    only from non-first hit positions and removed exactly like
+    remove_duplicate_spans. Emits (doc_id, clean_text, removed_chars)
+    for every doc.
+
+    Note the asymmetry this buys: a corpus whose every doc is a copy
+    keeps ONE readable copy (the remove-all form would empty them
+    all) — the right contract for dedup, while remove-all remains the
+    right one for contamination scrubbing."""
+    grams = tracked_persist(
+        _gram_stream(docs, min_len).select(
+            "doc_id",
+            "pos",
+            F.col("text").substr(F.col("pos") + 1, F.lit(min_len)).alias("gram"),
+        )
+    )
+    w_first = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    ranked = grams.select(
+        "doc_id", "pos", F.row_number().over(w_first).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("gram")).alias("c"),
+    )
+    hits = ranked.where((F.col("c") > 1) & (F.col("rn") > 1)).select(
+        "doc_id", "pos"
+    )
+    spans = _merge_hit_positions(hits, min_len)
+    return _cut_spans(docs, spans)
+
+
 def _gram_stream(docs: DataFrame, min_len: int) -> DataFrame:
     """(doc_id, pos, text) exploded to every gram start position.
 
@@ -667,7 +701,13 @@ def remove_duplicate_spans(docs: DataFrame, min_len: int = 50) -> DataFrame:
     copy of the affected docs; unaffected docs pass through untouched
     on the null side of the left join.
     """
-    spans = merged_duplicate_spans(docs, min_len)
+    return _cut_spans(docs, merged_duplicate_spans(docs, min_len))
+
+
+def _cut_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Cut (doc_id, s, e) spans out of docs.text: lag-window segments
+    between consecutive spans, concatenated in span order plus the
+    tail after the last span."""
     w = Window.partitionBy("doc_id").orderBy("s")
     seg = spans.withColumn(
         "seg_start", F.coalesce(F.lag("e").over(w), F.lit(0))

@@ -3014,3 +3014,135 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("new_text"),
     )
+
+
+@register(
+    "dedup_substring_clean_keepfirst",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, u.i AS pos, substr(text, u.i + 1, 50) AS gram
+      FROM documents
+      CROSS JOIN LATERAL unnest(range(0, greatest(len(text) - 49, 0)))
+           AS u(i)
+      WHERE len(text) >= 50
+    ), r AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos)
+               AS rn,
+             count(*) OVER (PARTITION BY gram) AS c
+      FROM g
+    ), hits AS (
+      SELECT doc_id, pos FROM r WHERE c > 1 AND rn > 1
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 50) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_start
+      FROM hits
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS span_id
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, span_id, min(pos) AS s, max(pos) + 50 AS e
+      FROM grp GROUP BY doc_id, span_id
+    ), seg AS (
+      SELECT doc_id, s, e,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+               AS seg_start
+      FROM spans
+    ), per_doc AS (
+      SELECT seg.doc_id,
+             string_agg(substr(text, seg_start + 1, s - seg_start), ''
+                        ORDER BY s) AS head,
+             max(e) AS max_e,
+             CAST(sum(e - s) AS BIGINT) AS removed_chars
+      FROM seg JOIN documents USING (doc_id)
+      GROUP BY seg.doc_id
+    )
+    SELECT documents.doc_id,
+           CASE WHEN head IS NULL THEN text
+                ELSE coalesce(head, '') || substr(text, max_e + 1)
+           END AS clean_text,
+           coalesce(removed_chars, 0)::BIGINT AS removed_chars
+    FROM documents LEFT JOIN per_doc USING (doc_id)
+    """,
+    doc="Lee et al.'s ACTUAL ExactSubstr contract (vs the remove-all "
+    "scrub form of dedup_substring_clean): the globally FIRST "
+    "occurrence of each duplicated 50-gram — min (doc_id, pos), a "
+    "total order, so the election is layout-independent — survives; "
+    "spans built from the non-first hits are cut. A corpus of "
+    "identical docs keeps one readable copy instead of emptying all. "
+    "datapipe/dedup.py:remove_duplicate_spans_keepfirst.",
+    tags=("datapipe", "dedup", "window"),
+)
+def dedup_substring_clean_keepfirst(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.dedup import (
+        remove_duplicate_spans_keepfirst,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans_keepfirst(docs, min_len=50)
+
+
+# -------------------------------------------- source-format lane (r09)
+
+
+@register(
+    "source_jsonl_events",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS ts_min_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS ts_max_us,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events GROUP BY event_type
+    """,
+    doc="Source-format breadth: the events table round-trips through "
+    "JSON LINES — written with the timestamp pre-flattened to integer "
+    "micros (JSON has no timestamp type; strings are a cross-engine "
+    "formatting trap, integers are exact), read back with an EXPLICIT "
+    "schema in FAILFAST mode (a corrupt line must error, not silently "
+    "null out — the P1 dirty-split lane is where tolerated dirt goes), "
+    "then aggregated. The oracle recomputes straight from the parquet, "
+    "so any loss or mangling in the text round trip is a hash "
+    "mismatch. 100 TB shape: JSONL is the interchange format of every "
+    "scraped-corpus drop; the read is splittable by line and schema-"
+    "pinned (no sampling pass — inference over 100 TB is a full extra "
+    "scan).",
+    tags=("source", "format", "roundtrip"),
+)
+def source_jsonl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix=f"jsonl_src_{uuid.uuid4().hex[:8]}_")
+    out = os.path.join(base, "events_jsonl")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    events.write.mode("overwrite").json(out)
+    schema = (
+        "event_id long, user_id long, event_type string, ts_us long"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "FAILFAST")
+        .json(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts_us").alias("ts_min_us"),
+        F.max("ts_us").alias("ts_max_us"),
+        F.sum("event_id").alias("id_sum"),
+    )

@@ -130,10 +130,11 @@ _WINDOW_ROUND = 9
 # tpch_q13_custdist, tpch_q17_smallqty, tpch_q21_waiting, tpch_q22_inactive,
 # tpch_q20_excess, sample_training_mix, text_token_counts,
 # multimodal_resize, dedup_survivors_by_quality, tfidf_top_terms,
-# pack_sequences (the last five displaced by the r09 new queries
-# multimodal_audio_features, dedup_substring_spans,
-# multimodal_image_stats, dedup_substring_clean,
-# dedup_substring_spans_hashed).
+# pack_sequences, dedup_clusters, corpus_contamination (the last seven
+# displaced by the seven r09 new queries: multimodal_audio_features,
+# dedup_substring_spans, multimodal_image_stats, dedup_substring_clean,
+# dedup_substring_spans_hashed, dedup_substring_clean_keepfirst,
+# source_jsonl_events).
 # Total = 50.
 _DRIVER_WINDOW = (
     # (a) newest=r05, at the staleness bound
@@ -172,6 +173,8 @@ _DRIVER_WINDOW = (
     "multimodal_image_stats",
     "dedup_substring_clean",
     "dedup_substring_spans_hashed",
+    "dedup_substring_clean_keepfirst",
+    "source_jsonl_events",
     # (c) r06-cohort fill, registration order
     "text_stats",
     "lang_id",
@@ -187,8 +190,6 @@ _DRIVER_WINDOW = (
     "corpus_clean",
     "sample_stratified",
     "vocab_top_tokens",
-    "dedup_clusters",
-    "corpus_contamination",
 )
 
 

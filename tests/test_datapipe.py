@@ -838,3 +838,33 @@ def test_substring_spans_hashed_matches_exact(spark):
         map(tuple, merged_duplicate_spans_hashed(docs, 50).collect())
     )
     assert exact == hashed and len(exact) > 0
+
+
+def test_substring_clean_keepfirst_hand_corpus(spark):
+    """Keep-first semantics: the globally first (doc_id, pos)
+    occurrence of each duplicated gram survives; later copies are cut.
+    Contrast with test_substring_clean_hand_corpus where doc 3 empties
+    — here it keeps exactly one copy."""
+    from gmall2021_flink_dw_spark.datapipe.dedup import (
+        remove_duplicate_spans_keepfirst,
+    )
+
+    A = "ABCDEFGHIJ"
+    B = "0123456789"
+    rows = {
+        1: A + "xxxxx" + A + "zzzzz",
+        2: "qqq" + A + "wwwwwww",
+        3: B + B,
+        4: "nothing-here-repeats-at-all!",
+    }
+    docs = spark.createDataFrame(
+        list(rows.items()), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["removed_chars"])
+        for r in remove_duplicate_spans_keepfirst(docs, min_len=10).collect()
+    }
+    assert out[1] == (A + "xxxxx" + "zzzzz", 10)  # first A (pos 0) kept
+    assert out[2] == ("qqqwwwwwww", 10)           # doc 1 won the election
+    assert out[3] == (B, 10)                      # ONE copy survives
+    assert out[4] == (rows[4], 0)

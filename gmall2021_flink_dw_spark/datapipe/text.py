@@ -244,3 +244,47 @@ DUCK_WINNOW_CTES = """
 
 
 TOKENS_SQL = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+
+# ------------------------------------------------- Unicode normalization
+#
+# Canonical Unicode normalization (NFC) is the first step of every
+# published corpus-prep pipeline (CCNet, GPT-2's byte-level BPE preamble,
+# SentencePiece's default NMT-NFKC) — scraped text arrives with the same
+# grapheme in composed and decomposed forms, and every downstream
+# exact/near-dup hash treats them as different documents unless the
+# corpus is normalized first. Spark has NO built-in NFC function
+# (java.text.Normalizer is not exposed to SQL), so this is one of the
+# few sanctioned Python stages in the repo: a scalar Arrow pandas_udf
+# (ArrowEvalPython — the plan-audit gate bans only row-at-a-time
+# BatchEvalPython). pandas' Series.str.normalize delegates to
+# unicodedata.normalize per value but keeps the transfer Arrow-batched.
+#
+# DuckDB oracle counterparts: nfc_normalize() for nfc_text(), and
+# strip_accents() (utf8proc) for strip_accents_text() — the NFD +
+# drop-combining-marks form below agrees with utf8proc on Latin text
+# (marks U+0300-U+036F), which is the contract the parity test pins.
+
+
+def nfc_text(col: Column) -> Column:
+    """NFC-compose a string column (Arrow-batched; see module note)."""
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(s):  # pd.Series -> pd.Series
+        return s.str.normalize("NFC")
+
+    return _nfc(col)
+
+
+def strip_accents_text(col: Column) -> Column:
+    """Accent-strip a string column: NFD-decompose, drop the Latin
+    combining-mark block U+0300-U+036F. Term-for-term DuckDB
+    counterpart: strip_accents()."""
+
+    @F.pandas_udf(T.StringType())
+    def _strip(s):  # pd.Series -> pd.Series
+        return s.str.normalize("NFD").str.replace(
+            "[\u0300-\u036f]", "", regex=True
+        )
+
+    return _strip(col)

@@ -3146,3 +3146,213 @@ def source_jsonl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("ts_max_us"),
         F.sum("event_id").alias("id_sum"),
     )
+
+
+@register(
+    "source_orc_events",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS ts_min_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS ts_max_us,
+           cast(sum(cast(value as decimal(18,2))) as double) AS sum_value,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events WHERE event_type <> 'view' GROUP BY event_type
+    """,
+    doc="Source-format breadth: the events table round-trips through "
+    "ORC — the OTHER columnar format a lakehouse migration actually "
+    "encounters (Hive-era warehouses are ORC; the reference's "
+    "ClickHouse/Hive surround makes it the likely interchange). Unlike "
+    "the JSONL lane this keeps the TYPED columns — timestamp survives "
+    "as a native ORC timestamp (session TZ pinned UTC in session.py, "
+    "so micros are exact on both engines) and value as a double — and "
+    "the read-back applies a predicate BEFORE the aggregate, so ORC "
+    "row-group predicate pushdown is on the exercised path (ORC "
+    "carries min/max strides per stripe; at 100 TB the filter prunes "
+    "stripes at the reader, same as parquet row groups). Oracle "
+    "recomputes straight from parquet, so any type mangling in the "
+    "round trip is a hash mismatch.",
+    tags=("source", "format", "roundtrip"),
+)
+def source_orc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix=f"orc_src_{uuid.uuid4().hex[:8]}_")
+    out = os.path.join(base, "events_orc")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    events.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).where(F.col("event_type") != "view")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("ts_min_us"),
+        F.unix_micros(F.max("ts")).alias("ts_max_us"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.sum("event_id").alias("id_sum"),
+    )
+
+
+@register(
+    "source_csv_docs",
+    oracle="""
+    WITH hard AS (
+      SELECT doc_id, source,
+             source || ',"' || chr(10) || text || '";' AS hard_text
+      FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(length(hard_text)) AS BIGINT) AS sum_len,
+           min(md5(hard_text)) AS md5_min,
+           max(md5(hard_text)) AS md5_max
+    FROM hard GROUP BY source
+    """,
+    doc="Source-format breadth: CSV round-trip under ADVERSARIAL "
+    "content. The corpus text is clean ASCII, so a naive CSV "
+    "round-trip would prove nothing — instead each row first derives "
+    "hard_text containing every RFC-4180 trap at once (delimiter "
+    "comma, double-quote, embedded newline), deterministically on both "
+    "engines. Spark writes it with quote-doubling (escape='\"', the "
+    "RFC form, not the backslash default) and reads it back "
+    "schema-pinned with multiLine=true; per-source md5 min/max pin "
+    "byte-exact content fidelity, not just counts. The oracle derives "
+    "the same hard_text straight from parquet — a mangled quote or a "
+    "split record is a hash mismatch. 100 TB note: multiLine CSV is "
+    "NOT line-splittable (a record may span lines), so this lane is "
+    "for ingest of modest dirty drops; columnar formats are the "
+    "at-scale path, which is why the ORC/JSONL lanes exist.",
+    tags=("source", "format", "roundtrip"),
+)
+def source_csv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix=f"csv_src_{uuid.uuid4().hex[:8]}_")
+    out = os.path.join(base, "docs_csv")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("source"),
+            F.lit(',"\n'),
+            F.col("text"),
+            F.lit('";'),
+        ).alias("hard_text"),
+    )
+    (
+        docs.write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(out)
+    )
+    back = (
+        spark.read.schema("doc_id long, source string, hard_text string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(out)
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("hard_text")).alias("sum_len"),
+        F.min(F.md5("hard_text")).alias("md5_min"),
+        F.max(F.md5("hard_text")).alias("md5_max"),
+    )
+
+
+# -------------------------------------------- Unicode normalization (r09)
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                    THEN replace(text, 'a', 'a' || chr(769))
+                  WHEN doc_id % 3 = 1
+                    THEN replace(text, ' ', chr(160))
+                  ELSE replace(text, 'e', 'e' || chr(8203))
+             END AS dirty_text
+      FROM documents
+    ), norm AS (
+      SELECT doc_id,
+             length(dirty_text)::BIGINT AS n_chars_dirty,
+             trim(regexp_replace(
+               replace(replace(nfc_normalize(dirty_text),
+                               chr(160), ' '),
+                       chr(8203), ''),
+               ' +', ' ', 'g')) AS clean_text
+      FROM dirty
+    )
+    SELECT doc_id, n_chars_dirty,
+           length(clean_text)::BIGINT AS n_chars_clean,
+           clean_text,
+           strip_accents(clean_text) AS ascii_text
+    FROM norm
+    """,
+    doc="Unicode canonicalization — the step every published corpus "
+    "pipeline runs FIRST (CCNet, SentencePiece NMT-NFKC), because "
+    "composed vs decomposed graphemes defeat every downstream dedup "
+    "hash. The corpus is clean ASCII, so the query first injects the "
+    "three real-world defects deterministically per doc_id residue: "
+    "decomposed accents (a + U+0301), NBSP for space, zero-width "
+    "space after e. The pipeline then NFC-composes (Arrow pandas_udf "
+    "— Spark has no built-in NFC; the ONLY Python step), maps NBSP to "
+    "space and strips ZWSP JVM-side, collapses runs of spaces, trims, "
+    "and emits both the clean text and its accent-stripped form. The "
+    "char counts pin that composition actually happened (dirty counts "
+    "the combining mark, clean counts the composed char once). Oracle "
+    "is term-for-term: nfc_normalize + strip_accents (utf8proc) vs "
+    "pandas NFC/NFD — bit-exact agreement of two independent Unicode "
+    "implementations. 100 TB shape: linear, no shuffle at all — a "
+    "pure map stage that fuses with whatever scan feeds it.",
+    tags=("datapipe", "text", "udf"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.text import (
+        nfc_text,
+        strip_accents_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    dirty = docs.select(
+        "doc_id",
+        F.when(m == 0, F.replace(F.col("text"), F.lit("a"), F.lit("a\u0301")))
+        .when(m == 1, F.replace(F.col("text"), F.lit(" "), F.lit("\u00a0")))
+        .otherwise(F.replace(F.col("text"), F.lit("e"), F.lit("e\u200b")))
+        .alias("dirty_text"),
+    )
+    clean = dirty.select(
+        "doc_id",
+        F.length("dirty_text").cast("long").alias("n_chars_dirty"),
+        F.trim(
+            F.regexp_replace(
+                F.replace(
+                    F.replace(
+                        nfc_text(F.col("dirty_text")),
+                        F.lit("\u00a0"),
+                        F.lit(" "),
+                    ),
+                    F.lit("\u200b"),
+                    F.lit(""),
+                ),
+                " +",
+                " ",
+            )
+        ).alias("clean_text"),
+    )
+    return clean.select(
+        "doc_id",
+        "n_chars_dirty",
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
+        "clean_text",
+        strip_accents_text(F.col("clean_text")).alias("ascii_text"),
+    )

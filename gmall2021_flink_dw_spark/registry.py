@@ -119,7 +119,7 @@ _WINDOW_ROUND = 9
 # evidence) plus any queries new or replanned this round — new
 # queries swap in as they land, displacing tail fill; (c) fill from
 # the r06 cohort (48 queries) in registration order.
-# The 27 r06-cohort names left out are effective staleness exactly 2
+# The r06-cohort names left out are effective staleness exactly 2
 # at r09 — within bound — and MUST front-load r10:
 # corpus_summary, corpus_train_pipeline, sample_mix_allocator,
 # dedup_paragraphs, dws_keyword_stats_zh, cdc_asof_enrich, tpch_q5, tpch_q6,
@@ -130,11 +130,13 @@ _WINDOW_ROUND = 9
 # tpch_q13_custdist, tpch_q17_smallqty, tpch_q21_waiting, tpch_q22_inactive,
 # tpch_q20_excess, sample_training_mix, text_token_counts,
 # multimodal_resize, dedup_survivors_by_quality, tfidf_top_terms,
-# pack_sequences, dedup_clusters, corpus_contamination (the last seven
-# displaced by the seven r09 new queries: multimodal_audio_features,
-# dedup_substring_spans, multimodal_image_stats, dedup_substring_clean,
+# pack_sequences, dedup_clusters, corpus_contamination, corpus_clean,
+# sample_stratified, vocab_top_tokens (the last ten displaced by the
+# ten r09 new queries: multimodal_audio_features, dedup_substring_spans,
+# multimodal_image_stats, dedup_substring_clean,
 # dedup_substring_spans_hashed, dedup_substring_clean_keepfirst,
-# source_jsonl_events).
+# source_jsonl_events, source_orc_events, source_csv_docs,
+# text_normalize).
 # Total = 50.
 _DRIVER_WINDOW = (
     # (a) newest=r05, at the staleness bound
@@ -175,6 +177,9 @@ _DRIVER_WINDOW = (
     "dedup_substring_spans_hashed",
     "dedup_substring_clean_keepfirst",
     "source_jsonl_events",
+    "source_orc_events",
+    "source_csv_docs",
+    "text_normalize",
     # (c) r06-cohort fill, registration order
     "text_stats",
     "lang_id",
@@ -187,9 +192,6 @@ _DRIVER_WINDOW = (
     "doc_winnow_fingerprint",
     "multimodal_frame_sample",
     "text_redact",
-    "corpus_clean",
-    "sample_stratified",
-    "vocab_top_tokens",
 )
 
 

@@ -3356,3 +3356,242 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clean_text",
         strip_accents_text(F.col("clean_text")).alias("ascii_text"),
     )
+
+
+_N_SHARDS = 16  # training shard count for shard_balance
+
+
+@register(
+    "shard_balance",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, len({TOKENS_SQL}) AS n_tokens FROM documents
+      WHERE len({TOKENS_SQL}) > 0
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+      FROM q
+    ), assigned AS (
+      SELECT n_tokens,
+             CASE WHEN (r // {_N_SHARDS}) % 2 = 0
+                  THEN r % {_N_SHARDS}
+                  ELSE {_N_SHARDS} - 1 - (r % {_N_SHARDS})
+             END AS shard_id
+      FROM ranked
+    )
+    SELECT shard_id::BIGINT AS shard_id,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM assigned GROUP BY shard_id
+    """,
+    doc="Balanced training-shard assignment — the step between a "
+    "curated corpus and a data loader: N shards whose token totals are "
+    "near-equal, so no loader worker straggles. Deterministic snake "
+    "(boustrophedon) assignment over the docs ranked by token count "
+    "descending: block i = rank div N takes shards left-to-right when "
+    "i is even, right-to-left when odd, so each shard gets one doc per "
+    "block and the +/- ordering error cancels — the classic LPT-lite "
+    "that needs NO stateful bin-packing loop, just a global rank. The "
+    "rank reuses sample_curriculum_rank's scale-safe decomposition "
+    "(range exchange + per-partition row_number + broadcast offsets — "
+    "no single-partition global window); assignment and the final "
+    "per-shard rollup are pure integer arithmetic, so the oracle (the "
+    "naive global window) matches bit-exact. 100 TB shape: one range "
+    "exchange + one 16-group agg; the skew this PREVENTS is in the "
+    "consumer, not the plan.",
+    tags=("datapipe", "sampling", "sort", "window-function"),
+)
+def shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    t = F.col("__tokens")
+    q = docs.filter(F.size(t) > 0).select(
+        "doc_id", F.size(t).cast("bigint").alias("n_tokens")
+    )
+    ranged = q.repartitionByRange(
+        32, F.desc("n_tokens"), F.asc("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    r = (
+        ranged.withColumn("_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "n_tokens",
+            (F.col("_off") + F.col("_rn") - 1).alias("r"),
+        )
+    )
+    block = (F.col("r") / _N_SHARDS).cast("bigint")
+    pos = F.col("r") % _N_SHARDS
+    assigned = r.select(
+        "n_tokens",
+        F.when(block % 2 == 0, pos)
+        .otherwise(F.lit(_N_SHARDS - 1) - pos)
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    WITH flat AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS value_cents
+      FROM events
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_v2,
+           CAST(sum(CASE WHEN event_id % 2 = 1 THEN value_cents
+                         ELSE 0 END) AS BIGINT) AS cents_v2,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM flat GROUP BY event_type
+    """,
+    doc="Schema evolution across parquet drops — the lakehouse reality "
+    "that a 100 TB corpus is never written by one job version: drop v1 "
+    "(even event_id) has columns (event_id, event_type), drop v2 (odd "
+    "event_id) adds value_cents. Reading the common root with "
+    "mergeSchema=true unions the schemas by NAME (parquet footer "
+    "merge), null-filling v1's missing column; the aggregate then "
+    "proves exactly which rows carried the new column. The oracle "
+    "recomputes from the original parquet with the same even/odd "
+    "split, so a mis-merged or mis-null-filled column is a hash "
+    "mismatch. 100 TB note: mergeSchema reads EVERY file footer at "
+    "planning time — fine per partition-add, wrong as a standing "
+    "default; a production lake pins the evolved schema in a "
+    "catalog and uses it as the read schema (schema-on-read, one "
+    "footer probe), which is exactly what the explicit-schema JSONL "
+    "lane demonstrates.",
+    tags=("source", "format", "schema"),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix=f"schevo_{uuid.uuid4().hex[:8]}_")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    v1 = events.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type"
+    )
+    v2 = events.where(F.col("event_id") % 2 == 1)
+    v1.write.mode("overwrite").parquet(os.path.join(base, "drop=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "drop=v2"))
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", base)
+        .parquet(
+            os.path.join(base, "drop=v1"), os.path.join(base, "drop=v2")
+        )
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("value_cents").isNotNull(), 1).otherwise(0)
+        ).alias("n_v2"),
+        F.coalesce(F.sum("value_cents"), F.lit(0)).alias("cents_v2"),
+        F.sum("event_id").alias("id_sum"),
+    )
+
+
+@register(
+    "lake_compact_events",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+           count(*)::BIGINT AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           TRUE AS compact_ok
+    FROM events GROUP BY 1
+    """,
+    doc="Small-file compaction — THE standing maintenance job of any "
+    "100 TB lake: streaming/micro-batch writers leave day partitions "
+    "with hundreds of KB-scale files, and file-open + footer overhead "
+    "then dominates every scan. The query stages the problem "
+    "(events written day-partitioned from a 48-way shuffle, so each "
+    "day holds ~dozens of small files), compacts by clustering on the "
+    "partition key (repartition(dt) -> one task, so ~one output file "
+    "per day) and rewrites, then PROVES fidelity: per-day row counts "
+    "and id-checksums of the compacted copy must match the oracle's "
+    "recompute from the virgin parquet, and compact_ok pins the "
+    "file-count collapse (after-count strictly below before, at most "
+    "one per day+task) measured via input_file_name() on both reads — "
+    "a flag, since the oracle cannot see the filesystem. The "
+    "driver-checkable form of a maintenance op: data bit-identical, "
+    "layout observably better.",
+    tags=("source", "maintenance", "partitioning"),
+)
+def lake_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix=f"compact_{uuid.uuid4().hex[:8]}_")
+    messy_dir = os.path.join(base, "messy")
+    tidy_dir = os.path.join(base, "tidy")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.to_date(F.col("ts")).alias("dt")
+    )
+    # stage the disease: a wide shuffle ahead of partitionBy scatters
+    # every day across 48 writer tasks -> ~48 files per day partition
+    (
+        events.repartition(48)
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(messy_dir)
+    )
+    messy = spark.read.parquet(messy_dir)
+    files_before = (
+        messy.select(
+            F.input_file_name().alias("f"), "dt"
+        ).distinct().count()
+    )
+    # the cure: cluster rows by partition key so each day is written by
+    # one task -> one file per day (plus header), then rewrite
+    (
+        messy.repartition(F.col("dt"))
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(tidy_dir)
+    )
+    tidy = spark.read.parquet(tidy_dir)
+    files_after = (
+        tidy.select(
+            F.input_file_name().alias("f"), "dt"
+        ).distinct().count()
+    )
+    n_days = tidy.select("dt").distinct().count()
+    ok = bool(files_after < files_before and files_after <= 2 * n_days)
+    return (
+        tidy.groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("id_sum"),
+            F.lit(ok).alias("compact_ok"),
+        )
+        .select(
+            F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+            "n_rows",
+            "id_sum",
+            "compact_ok",
+        )
+    )

@@ -131,12 +131,14 @@ _WINDOW_ROUND = 9
 # tpch_q20_excess, sample_training_mix, text_token_counts,
 # multimodal_resize, dedup_survivors_by_quality, tfidf_top_terms,
 # pack_sequences, dedup_clusters, corpus_contamination, corpus_clean,
-# sample_stratified, vocab_top_tokens (the last ten displaced by the
-# ten r09 new queries: multimodal_audio_features, dedup_substring_spans,
-# multimodal_image_stats, dedup_substring_clean,
+# sample_stratified, vocab_top_tokens, doc_winnow_fingerprint,
+# multimodal_frame_sample, text_redact (the last thirteen displaced by
+# the thirteen r09 new queries: multimodal_audio_features,
+# dedup_substring_spans, multimodal_image_stats, dedup_substring_clean,
 # dedup_substring_spans_hashed, dedup_substring_clean_keepfirst,
 # source_jsonl_events, source_orc_events, source_csv_docs,
-# text_normalize).
+# text_normalize, shard_balance, source_schema_evolution,
+# lake_compact_events).
 # Total = 50.
 _DRIVER_WINDOW = (
     # (a) newest=r05, at the staleness bound
@@ -180,6 +182,9 @@ _DRIVER_WINDOW = (
     "source_orc_events",
     "source_csv_docs",
     "text_normalize",
+    "shard_balance",
+    "source_schema_evolution",
+    "lake_compact_events",
     # (c) r06-cohort fill, registration order
     "text_stats",
     "lang_id",
@@ -189,9 +194,6 @@ _DRIVER_WINDOW = (
     "multimodal_decode",
     "dedup_embedding_cosine",
     "text_quality",
-    "doc_winnow_fingerprint",
-    "multimodal_frame_sample",
-    "text_redact",
 )
 
 

@@ -2503,9 +2503,14 @@ def sample_curriculum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(t)).cast("double") / F.size(t), 6
         ).alias("ttr"),
     )
-    ranged = q.repartitionByRange(
-        32, F.desc("ttr"), F.asc("doc_id")
-    ).withColumn("pid", F.spark_partition_id())
+    # persisted for the same reason as shard_balance: two branches
+    # (offsets, local rank) read the ranged frame; without the persist
+    # the scan + tokenizer + range exchange all run twice
+    ranged = tracked_persist(
+        q.repartitionByRange(
+            32, F.desc("ttr"), F.asc("doc_id")
+        ).withColumn("pid", F.spark_partition_id())
+    )
     # per-partition counts -> exclusive prefix-sum offsets (32 rows: the
     # cumsum window runs on a single tiny partition, then broadcasts)
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("_n"))
@@ -3409,9 +3414,15 @@ def shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = docs.filter(F.size(t) > 0).select(
         "doc_id", F.size(t).cast("bigint").alias("n_tokens")
     )
-    ranged = q.repartitionByRange(
-        32, F.desc("n_tokens"), F.asc("doc_id")
-    ).withColumn("pid", F.spark_partition_id())
+    # one scan + one range exchange, computed ONCE: both the offsets
+    # branch and the local-rank branch read this 3-int-column cache
+    # (static planning gives no ReusedExchange here — without the
+    # persist the whole subtree, tokenizer included, runs twice)
+    ranged = tracked_persist(
+        q.repartitionByRange(
+            32, F.desc("n_tokens"), F.asc("doc_id")
+        ).withColumn("pid", F.spark_partition_id())
+    )
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = Window.orderBy("pid").rowsBetween(
         Window.unboundedPreceding, -1

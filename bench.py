@@ -145,6 +145,14 @@ HEADLINE = [
     "dedup_substring_spans_hashed",
     "dedup_substring_clean_keepfirst",
     "source_jsonl_events",
+    "source_orc_events",
+    "source_csv_docs",
+    "text_normalize",
+    "shard_balance",
+    "source_schema_evolution",
+    "lake_compact_events",
+    "dws_event_pivot",
+    "ads_gmv_trailing_7d",
 ]
 
 

@@ -3606,3 +3606,117 @@ def lake_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compact_ok",
         )
     )
+
+
+@register(
+    "dws_event_pivot",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+           CAST(sum(CASE WHEN event_type = 'click'
+                    THEN floor(value * 100) ELSE 0 END) AS BIGINT)
+             AS click_cents,
+           CAST(sum(CASE WHEN event_type = 'error'
+                    THEN floor(value * 100) ELSE 0 END) AS BIGINT)
+             AS error_cents,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN floor(value * 100) ELSE 0 END) AS BIGINT)
+             AS purchase_cents,
+           CAST(sum(CASE WHEN event_type = 'signup'
+                    THEN floor(value * 100) ELSE 0 END) AS BIGINT)
+             AS signup_cents,
+           CAST(sum(CASE WHEN event_type = 'view'
+                    THEN floor(value * 100) ELSE 0 END) AS BIGINT)
+             AS view_cents
+    FROM events GROUP BY 1
+    """,
+    doc="PIVOT — long-to-wide reshaping (day x event_type value matrix), "
+    "the report shape every BI layer over the reference's ADS tables "
+    "ultimately serves. The pivot values are EXPLICIT "
+    "(pivot(col, [values])), which matters twice at 100 TB: without "
+    "them Spark runs a hidden first job just to collect the distinct "
+    "pivot keys, and an unbounded key set would explode the schema "
+    "(columns are metadata, not data — a 10k-key pivot is a plan "
+    "bug, not a big result). With explicit values the whole reshape "
+    "is ONE hash aggregate over (day), map-side combined, no extra "
+    "scan. Money stays integer cents (floor, exact on both engines); "
+    "the oracle is the equivalent conditional aggregation.",
+    tags=("sql-surface", "pivot", "aggregation"),
+)
+def dws_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("dt"),
+        "event_type",
+        F.floor(F.col("value") * 100).alias("cents"),
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        events.groupBy("dt")
+        .pivot("event_type", types)
+        .sum("cents")
+    )
+    return wide.select(
+        "dt",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"{t}_cents")
+            for t in types
+        ],
+    )
+
+
+@register(
+    "ads_gmv_trailing_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN floor(value * 100) ELSE 0 END) AS BIGINT)
+               AS day_cents
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS dt, day_cents,
+           CAST(sum(day_cents) OVER (
+                  ORDER BY d
+                  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+                ) AS BIGINT) AS trailing_7d_cents
+    FROM daily
+    """,
+    doc="RANGE-framed moving aggregate — trailing 7-day GMV per day, "
+    "the dashboard derivative of the reference's daily GMV total "
+    "(ads_gmv_by_day). RANGE (value-based) framing differs from ROWS "
+    "when days are missing: a gap day must NOT pull an 8th calendar "
+    "day into the frame, so the frame is anchored on the date value "
+    "(Spark: rangeBetween(-6, 0) over the day ordinal "
+    "datediff(d, DATE'1970-01-01'); DuckDB: RANGE BETWEEN INTERVAL 6 "
+    "DAY PRECEDING). The window input is the per-day pre-aggregate — "
+    "one row per calendar day, bounded by the calendar and not by "
+    "data size — so the unpartitioned global window is safe at any "
+    "scale; the heavy reduction happened in the partial-aggregated "
+    "groupBy below it. Money stays integer cents throughout.",
+    tags=("sql-surface", "window-function", "aggregation"),
+)
+def ads_gmv_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("d"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100),
+            )
+            .otherwise(0)
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("d"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("dt"),
+        "day_cents",
+        F.sum("day_cents").over(w).alias("trailing_7d_cents"),
+    )

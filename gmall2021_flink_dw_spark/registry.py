@@ -132,13 +132,14 @@ _WINDOW_ROUND = 9
 # multimodal_resize, dedup_survivors_by_quality, tfidf_top_terms,
 # pack_sequences, dedup_clusters, corpus_contamination, corpus_clean,
 # sample_stratified, vocab_top_tokens, doc_winnow_fingerprint,
-# multimodal_frame_sample, text_redact (the last thirteen displaced by
-# the thirteen r09 new queries: multimodal_audio_features,
-# dedup_substring_spans, multimodal_image_stats, dedup_substring_clean,
+# multimodal_frame_sample, text_redact, text_quality,
+# dedup_embedding_cosine (the last fifteen displaced by the fifteen
+# r09 new queries: multimodal_audio_features, dedup_substring_spans,
+# multimodal_image_stats, dedup_substring_clean,
 # dedup_substring_spans_hashed, dedup_substring_clean_keepfirst,
 # source_jsonl_events, source_orc_events, source_csv_docs,
 # text_normalize, shard_balance, source_schema_evolution,
-# lake_compact_events).
+# lake_compact_events, dws_event_pivot, ads_gmv_trailing_7d).
 # Total = 50.
 _DRIVER_WINDOW = (
     # (a) newest=r05, at the staleness bound
@@ -185,6 +186,8 @@ _DRIVER_WINDOW = (
     "shard_balance",
     "source_schema_evolution",
     "lake_compact_events",
+    "dws_event_pivot",
+    "ads_gmv_trailing_7d",
     # (c) r06-cohort fill, registration order
     "text_stats",
     "lang_id",
@@ -192,8 +195,6 @@ _DRIVER_WINDOW = (
     "dedup_ngram_jaccard",
     "ann_topk",
     "multimodal_decode",
-    "dedup_embedding_cosine",
-    "text_quality",
 )
 
 

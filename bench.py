@@ -153,6 +153,7 @@ HEADLINE = [
     "lake_compact_events",
     "dws_event_pivot",
     "ads_gmv_trailing_7d",
+    "source_variant_props",
 ]
 
 

@@ -3563,18 +3563,20 @@ def lake_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.to_date(F.col("ts")).alias("dt")
     )
     # stage the disease: a wide shuffle ahead of partitionBy scatters
-    # every day across 48 writer tasks -> ~48 files per day partition
+    # every day across 16 writer tasks -> ~16 files per day partition
+    # (16, not the full core count: the point needs files >> days, not
+    # the most file metadata ops the box can grind through)
     (
-        events.repartition(48)
+        events.repartition(16)
         .write.mode("overwrite")
         .partitionBy("dt")
         .parquet(messy_dir)
     )
     messy = spark.read.parquet(messy_dir)
+    # input_file_name() is non-deterministic, so it must be projected
+    # before any aggregate touches it
     files_before = (
-        messy.select(
-            F.input_file_name().alias("f"), "dt"
-        ).distinct().count()
+        messy.select(F.input_file_name().alias("f")).distinct().count()
     )
     # the cure: cluster rows by partition key so each day is written by
     # one task -> one file per day (plus header), then rewrite
@@ -3585,12 +3587,14 @@ def lake_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(tidy_dir)
     )
     tidy = spark.read.parquet(tidy_dir)
-    files_after = (
-        tidy.select(
-            F.input_file_name().alias("f"), "dt"
-        ).distinct().count()
+    files_after, n_days = (
+        tidy.select(F.input_file_name().alias("f"), "dt")
+        .agg(
+            F.countDistinct("f").alias("nf"),
+            F.countDistinct("dt").alias("nd"),
+        )
+        .head()
     )
-    n_days = tidy.select("dt").distinct().count()
     ok = bool(files_after < files_before and files_after <= 2 * n_days)
     return (
         tidy.groupBy("dt")
@@ -3719,4 +3723,48 @@ def ads_gmv_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("dt"),
         "day_cents",
         F.sum("day_cents").over(w).alias("trailing_7d_cents"),
+    )
+
+
+@register(
+    "source_variant_props",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max,
+           CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_no_field
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured VARIANT lane — Spark 4's native answer to the "
+    "reference's JSON-string columns (the props payload every event "
+    "carries; the reference reads these with per-query JSONObject "
+    "parsing, BaseLogApp.java-style). parse_json converts the string "
+    "ONCE into the binary VARIANT encoding, then typed path access "
+    "(try_variant_get with a target type) replaces per-access "
+    "re-parsing; a missing path yields NULL rather than an error — "
+    "counted here to pin the semantics. At 100 TB the point is "
+    "storage+CPU: VARIANT in parquet is shredded binary, so repeated "
+    "path reads don't re-tokenize text, and try_variant_get is "
+    "codegen'd JVM work, not a UDF. Oracle: DuckDB json_extract over "
+    "the same strings — two independent JSON implementations agreeing "
+    "on values and null-ness.",
+    tags=("source", "format", "variant", "json"),
+)
+def source_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.try_variant_get(F.col("v"), "$.k", "bigint")
+    missing = F.try_variant_get(F.col("v"), "$.missing", "bigint")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("k_sum"),
+        F.max(k).alias("k_max"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias(
+            "n_no_field"
+        ),
     )

@@ -154,6 +154,7 @@ HEADLINE = [
     "dws_event_pivot",
     "ads_gmv_trailing_7d",
     "source_variant_props",
+    "cdc_incremental_agg",
 ]
 
 

@@ -12,7 +12,9 @@ table so a DuckDB oracle can reproduce it:
 - orderkey % 10 in (1,2)  -> also an `update`  (+1 day, status 'U');
 - orderkey % 10 == 0      -> also a `delete`   (+2 days).
 
-The envelope keeps `after` flattened to typed columns (after_*) rather
+The envelope keeps `before`/`after` flattened to typed columns
+(before_*/after_* — Debezium envelopes carry both images, and the
+retraction aggregate cdc_incremental_agg needs the before image) rather
 than a string map — idiomatic Spark (from_json with a pinned StructType
 at the edge, SURVEY §1.2) and oracle-friendly.
 """
@@ -37,6 +39,8 @@ def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("order_info").alias("table_name"),
         F.lit("insert").alias("op"),
         F.col("o_orderkey").alias("id"),
+        F.lit(None).cast("string").alias("before_status"),
+        F.lit(None).cast("decimal(18,2)").alias("before_total"),
         F.col("o_orderstatus").alias("after_status"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("after_total"),
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts_us"),
@@ -48,6 +52,8 @@ def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("order_info").alias("table_name"),
             F.lit("update").alias("op"),
             F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("before_status"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("before_total"),
             F.lit("U").alias("after_status"),
             F.col("o_totalprice").cast("decimal(18,2)").alias("after_total"),
             (
@@ -63,6 +69,8 @@ def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("order_info").alias("table_name"),
             F.lit("delete").alias("op"),
             F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("before_status"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("before_total"),
             F.lit(None).cast("string").alias("after_status"),
             F.lit(None).cast("decimal(18,2)").alias("after_total"),
             (
@@ -76,17 +84,22 @@ def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORDERS_CHANGELOG_ORACLE = """
     SELECT 'gmall' AS database, 'order_info' AS table_name, 'insert' AS op,
-           o_orderkey AS id, o_orderstatus AS after_status,
+           o_orderkey AS id,
+           CAST(NULL AS VARCHAR) AS before_status,
+           CAST(NULL AS DECIMAL(18,2)) AS before_total,
+           o_orderstatus AS after_status,
            cast(o_totalprice as decimal(18,2)) AS after_total,
            epoch_us(o_orderdate) AS ts_us
     FROM orders
     UNION ALL
-    SELECT 'gmall', 'order_info', 'update', o_orderkey, 'U',
+    SELECT 'gmall', 'order_info', 'update', o_orderkey,
+           o_orderstatus, cast(o_totalprice as decimal(18,2)), 'U',
            cast(o_totalprice as decimal(18,2)),
            epoch_us(o_orderdate) + 86400000000
     FROM orders WHERE o_orderkey % 10 IN (1,2)
     UNION ALL
-    SELECT 'gmall', 'order_info', 'delete', o_orderkey, NULL, NULL,
+    SELECT 'gmall', 'order_info', 'delete', o_orderkey,
+           o_orderstatus, cast(o_totalprice as decimal(18,2)), NULL, NULL,
            epoch_us(o_orderdate) + 172800000000
     FROM orders WHERE o_orderkey % 10 = 0
 """

@@ -155,6 +155,9 @@ HEADLINE = [
     "ads_gmv_trailing_7d",
     "source_variant_props",
     "cdc_incremental_agg",
+    "text_heavy_hitters",
+    "sample_dsir",
+    "lake_zorder_layout",
 ]
 
 

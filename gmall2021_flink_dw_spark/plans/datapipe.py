@@ -3768,3 +3768,313 @@ def source_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_no_field"
         ),
     )
+
+
+@register(
+    "text_heavy_hitters",
+    oracle="""
+    WITH s AS (SELECT lower(text) AS t FROM documents),
+    g AS (
+      SELECT substr(t, i, 3) AS tri
+      FROM s, unnest(range(1, length(t) - 1)) AS u(i)
+    ),
+    c AS (SELECT tri, count(*)::BIGINT AS n_total FROM g GROUP BY 1),
+    top AS (SELECT tri, n_total FROM c ORDER BY n_total DESC, tri LIMIT 25),
+    n AS (SELECT sum(greatest(length(t) - 2, 0))::BIGINT AS n_tot FROM s),
+    f AS (
+      SELECT min(top.n_total) * 257 > any_value(n.n_tot) AS cover_ok
+      FROM top, n
+    )
+    SELECT tri, n_total, f.cover_ok FROM top, f
+    """,
+    doc="Heavy hitters over an OPEN key space (character trigrams) via a "
+    "Misra-Gries mergeable sketch (Misra & Gries 1982; Agarwal et al., "
+    "Mergeable Summaries, PODS 2012) — the memory-bounded form of the "
+    "reference's exact keyed counting (ProductStats.java HashSet "
+    "accumulators) for when the key is tokens/n-grams, not dimensions. "
+    "Two passes: (1) per-partition MG summaries with m=256 counters, "
+    "Arrow-batched (datapipe/sketch.py) and union-merged — total "
+    "undercount <= N/(m+1), so every key with true count > N/(m+1) "
+    "survives as a candidate; (2) exact recount restricted to the "
+    "candidates (broadcast semi-join), so emitted counts are EXACT — "
+    "the sketch picks which keys to count, never the values. The "
+    "cover_ok flag pins the guarantee on this corpus in exact integer "
+    "arithmetic: c_25 * (m+1) > N, i.e. the true 25th count clears the "
+    "MG bound (m=256 < the 377-trigram key space here, so evictions "
+    "genuinely occur). At 100 TB this is the difference between "
+    "per-task hash tables sized by local key cardinality plus a "
+    "cardinality-sized shuffle, and O(m) state per task plus an "
+    "O(parts*m) shuffle; the oracle is the exact top-25.",
+    tags=("datapipe", "text", "sketch", "topn"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.sketch import (
+        mg_partition_summaries,
+    )
+
+    ensure_workers_can_import(spark)
+    m = 256
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lower(F.col("text")).alias("t")
+    )
+    tri_arr = F.expr(
+        "CASE WHEN length(t) >= 3 THEN "
+        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) "
+        "ELSE array() END"
+    )
+    keys = docs.select(F.explode(tri_arr).alias("key"))
+    # pass 1: O(m) state per partition, O(parts*m) rows shuffled
+    candidates = (
+        mg_partition_summaries(keys, m)
+        .groupBy("key")
+        .agg(F.sum("c").alias("lb"))
+        .select("key")
+    )
+    # pass 2: exact recount of candidates only (map-side combine keeps
+    # the shuffle candidate-sized)
+    exact = (
+        keys.join(F.broadcast(candidates), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    top = (
+        exact.orderBy(F.col("n_total").desc(), "key")
+        .limit(25)
+        .select(F.col("key").alias("tri"), "n_total")
+    )
+    n_tot = docs.agg(
+        F.sum(F.greatest(F.length("t") - 2, F.lit(0))).alias("n_tot")
+    )
+    # integer-exact guarantee check: c_min*(m+1) > N  <=>  c_min > N/(m+1)
+    flag = (
+        top.agg(F.min("n_total").alias("c_min"))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            (F.col("c_min") * (m + 1) > F.col("n_tot")).alias("cover_ok")
+        )
+    )
+    return top.crossJoin(F.broadcast(flag))
+
+
+@register(
+    "sample_dsir",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({TOKENS_SQL}) AS tk FROM documents
+    ),
+    dtf AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(tk), 1, 8))::BIGINT % 512 AS b,
+             count(*)::BIGINT AS k
+      FROM tok GROUP BY 1, 2, 3
+    ),
+    raw AS (SELECT b, sum(k)::BIGINT AS cr FROM dtf GROUP BY 1),
+    tgt AS (
+      SELECT b, sum(k)::BIGINT AS ct FROM dtf WHERE lang = 'en' GROUP BY 1
+    ),
+    tots AS (
+      SELECT (SELECT sum(cr) FROM raw)::BIGINT AS r_tot,
+             (SELECT coalesce(sum(ct), 0) FROM tgt)::BIGINT AS t_tot
+    ),
+    doc AS (
+      SELECT d.doc_id,
+             sum(d.k * (ln((coalesce(t.ct, 0) + 1)::DOUBLE
+                           / (tots.t_tot + 512))
+                        - ln((r.cr + 1)::DOUBLE / (tots.r_tot + 512))))
+               AS logw,
+             sum(d.k)::BIGINT AS n_tokens
+      FROM dtf d JOIN raw r USING (b) LEFT JOIN tgt t USING (b)
+      CROSS JOIN tots
+      GROUP BY 1
+    ),
+    keyed AS (
+      SELECT doc_id, n_tokens, logw,
+             logw - ln(-ln(
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                % 1000000 + 0.5) / 1000000.0)) AS gk
+      FROM doc
+    )
+    SELECT doc_id, n_tokens, round(logw, 6) AS logw,
+           round(gk, 6) AS gumbel_key
+    FROM keyed ORDER BY gk DESC, doc_id LIMIT 64
+    """,
+    doc="DSIR — Data Selection with Importance Resampling (Xie et al., "
+    "NeurIPS 2023): select pretraining documents whose hashed-n-gram "
+    "feature distribution looks like a target corpus. Features are "
+    "md5-hashed token buckets (B=512; the paper uses 10k buckets over "
+    "uni+bigrams); the raw and target (lang='en' stands in for the "
+    "high-quality target) bucket models are add-one-smoothed "
+    "multinomials; each doc scores the log importance weight "
+    "sum_b k_b * ln(p_target(b)/p_raw(b)); selection is Gumbel top-k "
+    "(the paper's sampling-without-replacement trick), with the Gumbel "
+    "noise derived deterministically from md5(doc_id) so both engines "
+    "draw identical 'randomness'. Plan: ONE corpus shuffle to "
+    "per-(doc,bucket) counts; both models re-aggregate that table and "
+    "are B-bounded, so they BROADCAST into the scoring join; one "
+    "shuffle back to per-doc sums; final top-64 is "
+    "TakeOrderedAndProject (no global sort, no single-partition "
+    "window). At 100 TB the models are exactly the paper's "
+    "importance-weight tables: vocabulary-independent fixed-size "
+    "arrays, fit in one pass, reusable across selection runs. "
+    "Float contract follows text_perplexity: ln() terms are "
+    "order-summed doubles, emitted round(,6); the Gumbel gap between "
+    "adjacent ranks is O(0.1), so sub-ulp engine noise cannot flip "
+    "the 64-boundary (structural duplicates get distinct noise from "
+    "distinct doc_ids).",
+    tags=("datapipe", "sampling", "quality", "join"),
+)
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = 512
+    docs = with_tokens(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "__tokens"
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.explode("__tokens").alias("tk")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("bigint")
+        % B
+    )
+    dtf = tracked_persist(
+        tok.select("doc_id", "lang", bucket.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    raw = dtf.groupBy("b").agg(F.sum("k").alias("cr"))
+    tgt = (
+        dtf.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("k").alias("ct"))
+    )
+    tots = raw.agg(F.sum("cr").alias("r_tot")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("t_tot"))
+    )
+    scored = (
+        dtf.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .withColumn(
+            "term",
+            F.col("k")
+            * (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t_tot") + B)
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double") / (F.col("r_tot") + B)
+                )
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("term").alias("logw"),
+        F.sum("k").cast("bigint").alias("n_tokens"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+        + 0.5
+    ) / 1000000.0
+    keyed = per_doc.withColumn("gk", F.col("logw") - F.log(-F.log(u)))
+    return (
+        keyed.orderBy(F.col("gk").desc(), "doc_id")
+        .limit(64)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("logw", 6).alias("logw"),
+            F.round("gk", 6).alias("gumbel_key"),
+        )
+    )
+
+
+@register(
+    "lake_zorder_layout",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_rows,
+           CAST(coalesce(sum(event_id), 0) AS BIGINT) AS id_sum,
+           CAST(coalesce(sum(floor(value * 100)), 0) AS BIGINT) AS cents,
+           TRUE AS zorder_prunes
+    FROM events
+    WHERE user_id BETWEEN 3 AND 7
+      AND strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-10'
+    """,
+    doc="Z-order (Morton curve) data layout — the lakehouse clustering "
+    "move (Delta OPTIMIZE ZORDER BY) that makes MULTI-dimensional "
+    "predicates prunable from ONE sort order: interleave the bits of "
+    "the two filter dimensions (user_id, hour-of-ts; 20 bits each -> "
+    "40-bit z-value), repartitionByRange + sortWithinPartitions on z, "
+    "and rows close in BOTH dimensions land in the same files, so "
+    "parquet min/max footer stats skip everything else. The query "
+    "stages both layouts from the same events (z-clustered vs "
+    "hash-scattered control), runs the identical 2-D predicate "
+    "(5 users x 1 day) against each, and measures files actually "
+    "hit via input_file_name(); zorder_prunes pins "
+    "files_z < files_linear (or an empty region, where pruning is "
+    "unobservable). Data correctness is the region aggregate against "
+    "the oracle's recompute from virgin parquet — a mis-interleaved "
+    "bit or a lossy rewrite is a value mismatch, not just a slow "
+    "plan. At 100 TB this layout job is run once per partition-add; "
+    "every subsequent selective scan pays file-count ~ O(region "
+    "volume / file volume) instead of O(total files).",
+    tags=("source", "maintenance", "partitioning", "zorder"),
+)
+def lake_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix=f"zorder_{uuid.uuid4().hex[:8]}_")
+    zdir, ldir = os.path.join(base, "zorder"), os.path.join(base, "linear")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    x = F.col("user_id")
+    y = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(20):  # 20 bits per dimension -> 40-bit Morton code
+        z = z + F.shiftleft(
+            F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i
+        ) + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    staged = events.withColumn("z", z)
+    # z layout: range-partition + sort on the Morton code -> each file
+    # holds a contiguous z-range = a small rectangle in (user, hour)
+    (
+        staged.repartitionByRange(32, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(zdir)
+    )
+    # control: hash-scatter, every file sees every region
+    staged.repartition(32, "event_id").write.mode("overwrite").parquet(
+        ldir
+    )
+    region = lambda df: df.where(  # noqa: E731
+        F.col("user_id").between(3, 7)
+        & (F.date_format(F.to_date("ts"), "yyyy-MM-dd") == "2024-01-10")
+    )
+    # input_file_name() must be projected before aggregation
+    files_hit = lambda d: (  # noqa: E731
+        region(spark.read.parquet(d))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    fz, fl = files_hit(zdir), files_hit(ldir)
+    ok = bool(fz < fl or fl == 0)
+    return region(spark.read.parquet(zdir)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("event_id"), F.lit(0)).alias("id_sum"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"),
+        F.lit(ok).alias("zorder_prunes"),
+    )

@@ -133,15 +133,17 @@ _WINDOW_ROUND = 9
 # pack_sequences, dedup_clusters, corpus_contamination, corpus_clean,
 # sample_stratified, vocab_top_tokens, doc_winnow_fingerprint,
 # multimodal_frame_sample, text_redact, text_quality,
-# dedup_embedding_cosine, multimodal_decode, ann_topk (the last
-# seventeen displaced by the seventeen r09 new queries:
+# dedup_embedding_cosine, multimodal_decode, ann_topk, text_stats,
+# lang_id, dedup_exact (the last
+# twenty displaced by the twenty r09 new queries:
 # multimodal_audio_features, dedup_substring_spans,
 # multimodal_image_stats, dedup_substring_clean,
 # dedup_substring_spans_hashed, dedup_substring_clean_keepfirst,
 # source_jsonl_events, source_orc_events, source_csv_docs,
 # text_normalize, shard_balance, source_schema_evolution,
 # lake_compact_events, dws_event_pivot, ads_gmv_trailing_7d,
-# source_variant_props, cdc_incremental_agg).
+# source_variant_props, cdc_incremental_agg, text_heavy_hitters,
+# sample_dsir, lake_zorder_layout).
 # Total = 50.
 _DRIVER_WINDOW = (
     # (a) newest=r05, at the staleness bound
@@ -192,10 +194,10 @@ _DRIVER_WINDOW = (
     "ads_gmv_trailing_7d",
     "source_variant_props",
     "cdc_incremental_agg",
+    "text_heavy_hitters",
+    "sample_dsir",
+    "lake_zorder_layout",
     # (c) r06-cohort fill, registration order
-    "text_stats",
-    "lang_id",
-    "dedup_exact",
     "dedup_ngram_jaccard",
 )
 

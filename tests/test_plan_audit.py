@@ -75,6 +75,10 @@ SCALAR_THRESHOLD_ALLOWED = {
     "corpus_filter_pipeline",
     # id-span bounds (1-row broadcast) for the two-level offset bucketing
     "kafka_wire_events",
+    # 1-row broadcast scalars: corpus totals (r_tot/t_tot) for the DSIR
+    # models; N + cover flag for the MG heavy-hitters guarantee check
+    "sample_dsir",
+    "text_heavy_hitters",
 }
 
 DIM_TABLES = ("nation", "region", "part.parquet", "supplier", "customer")

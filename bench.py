@@ -158,6 +158,8 @@ HEADLINE = [
     "text_heavy_hitters",
     "sample_dsir",
     "lake_zorder_layout",
+    "embedding_gram",
+    "embedding_pca_power",
 ]
 
 

@@ -134,8 +134,10 @@ _WINDOW_ROUND = 9
 # sample_stratified, vocab_top_tokens, doc_winnow_fingerprint,
 # multimodal_frame_sample, text_redact, text_quality,
 # dedup_embedding_cosine, multimodal_decode, ann_topk, text_stats,
-# lang_id, dedup_exact (the last
-# twenty displaced by the twenty r09 new queries:
+# lang_id, dedup_exact, dedup_ngram_jaccard (the last
+# twenty-one displaced by the twenty-one r09 new queries; the 22nd
+# r09 query, embedding_pca_power, did not fit the 50-slot window and
+# front-loads r10 with the staleness-2 cohort:
 # multimodal_audio_features, dedup_substring_spans,
 # multimodal_image_stats, dedup_substring_clean,
 # dedup_substring_spans_hashed, dedup_substring_clean_keepfirst,
@@ -143,7 +145,7 @@ _WINDOW_ROUND = 9
 # text_normalize, shard_balance, source_schema_evolution,
 # lake_compact_events, dws_event_pivot, ads_gmv_trailing_7d,
 # source_variant_props, cdc_incremental_agg, text_heavy_hitters,
-# sample_dsir, lake_zorder_layout).
+# sample_dsir, lake_zorder_layout, embedding_gram).
 # Total = 50.
 _DRIVER_WINDOW = (
     # (a) newest=r05, at the staleness bound
@@ -197,9 +199,17 @@ _DRIVER_WINDOW = (
     "text_heavy_hitters",
     "sample_dsir",
     "lake_zorder_layout",
-    # (c) r06-cohort fill, registration order
-    "dedup_ngram_jaccard",
+    "embedding_gram",
 )
+
+# Queries registered AFTER the upcoming round's 50-slot window filled
+# (22 new queries landed in r09 against 22 free slots). These carry
+# local oracle parity but zero driver evidence yet, and MUST be the
+# first (b)-section entries of the NEXT window rebuild — the same
+# pre-commitment the VERDICT r03 rotation fix introduced for displaced
+# cohort names. tests/test_catalog.py projects them to round
+# _WINDOW_ROUND + 1 and caps how many may wait.
+_PENDING_FIRST_WINDOW = ("embedding_pca_power",)
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -160,6 +160,7 @@ HEADLINE = [
     "lake_zorder_layout",
     "embedding_gram",
     "embedding_pca_power",
+    "sample_leakage_free_split",
 ]
 
 

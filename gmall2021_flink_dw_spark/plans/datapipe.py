@@ -4234,3 +4234,95 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.select(
         "vec_id", F.round(dot / 1000.0, 6).alias("pc1")
     )
+
+
+@register(
+    "sample_leakage_free_split",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(text) AS f FROM documents
+    ),
+    rep AS (SELECT f, min(doc_id) AS rep_id FROM fp GROUP BY 1),
+    assigned AS (
+      SELECT fp.doc_id, rep.rep_id,
+             CASE
+               WHEN ('0x' || substr(md5(rep.rep_id::VARCHAR), 1, 8))::BIGINT
+                    % 100 < 90 THEN 'train'
+               WHEN ('0x' || substr(md5(rep.rep_id::VARCHAR), 1, 8))::BIGINT
+                    % 100 < 95 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM fp JOIN rep USING (f)
+    ),
+    leak AS (
+      SELECT count(*) = 0 AS leak_free
+      FROM (
+        SELECT rep_id FROM assigned
+        GROUP BY rep_id HAVING count(DISTINCT split) > 1
+      )
+    )
+    SELECT a.split,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT a.rep_id)::BIGINT AS n_groups,
+           CAST(sum(a.doc_id) AS BIGINT) AS id_sum,
+           l.leak_free
+    FROM assigned a, leak l
+    GROUP BY 1, 5
+    """,
+    doc="Leakage-free train/val/test split — the evaluation-hygiene op "
+    "every pretraining corpus needs: assigning SPLITS PER DOCUMENT "
+    "leaks near-identical content across train and test (the "
+    "contamination mechanism Lee et al. 2022 and the GPT-3 appendix "
+    "both document), so the split key must be the DUPLICATE GROUP, "
+    "not the doc. Here the group is the exact content fingerprint "
+    "(md5(text); the MinHash cluster id drops in identically), the "
+    "representative is min(doc_id) per group, and the 90/5/5 "
+    "assignment hashes the REPRESENTATIVE — every copy of a document "
+    "lands in the same split by construction. Emitted per split: doc "
+    "and group counts, an id checksum, and leak_free = no group spans "
+    "two splits (the pinned invariant; trivially true here, but the "
+    "flag turns a future regression — e.g. someone re-keying the "
+    "hash to doc_id — into a driver hash mismatch). Plan: one scan, "
+    "one shuffle on the fingerprint, one broadcast-size group join; "
+    "deterministic md5 bucketing, no RNG state, stable under re-runs "
+    "and appends at 100 TB.",
+    tags=("datapipe", "sampling", "dedup", "quality"),
+)
+def sample_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("f")
+    )
+    rep = docs.groupBy("f").agg(F.min("doc_id").alias("rep_id"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("rep_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    assigned = tracked_persist(
+        docs.join(rep, "f").select(
+            "doc_id",
+            "rep_id",
+            F.when(bucket < 90, "train")
+            .when(bucket < 95, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    leak = (
+        assigned.groupBy("rep_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .agg((F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)) == 0).alias("leak_free"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("rep_id").alias("n_groups"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_docs", "n_groups", "id_sum", "leak_free")
+    )

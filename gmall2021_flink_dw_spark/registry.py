@@ -209,7 +209,10 @@ _DRIVER_WINDOW = (
 # pre-commitment the VERDICT r03 rotation fix introduced for displaced
 # cohort names. tests/test_catalog.py projects them to round
 # _WINDOW_ROUND + 1 and caps how many may wait.
-_PENDING_FIRST_WINDOW = ("embedding_pca_power",)
+_PENDING_FIRST_WINDOW = (
+    "embedding_pca_power",
+    "sample_leakage_free_split",
+)
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -79,6 +79,8 @@ SCALAR_THRESHOLD_ALLOWED = {
     # models; N + cover flag for the MG heavy-hitters guarantee check
     "sample_dsir",
     "text_heavy_hitters",
+    # 1-row broadcast scalar: the leak_free invariant flag
+    "sample_leakage_free_split",
 }
 
 DIM_TABLES = ("nation", "region", "part.parquet", "supplier", "customer")

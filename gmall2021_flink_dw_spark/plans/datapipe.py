@@ -3822,18 +3822,29 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) "
         "ELSE array() END"
     )
-    keys = docs.select(F.explode(tri_arr).alias("key"))
-    # pass 1: O(m) state per partition, O(parts*m) rows shuffled
+    # persist the exploded stream: generating 1.5M substring trigrams
+    # costs ~1.6 s at sf0.1 and BOTH passes consume it (measured: the
+    # explode, not the Python MG stage, dominates the un-persisted
+    # form). Only the 1-column key projection is materialized.
+    keys = tracked_persist(docs.select(F.explode(tri_arr).alias("key")))
+    # pass 1 streams xxhash64(key) through the MG stage: Arrow ships
+    # fixed-width longs instead of strings, and a 64-bit collision only
+    # merges counters upward — the candidate set stays a guaranteed
+    # superset (see mg_partition_summaries).
+    hashed = keys.select(F.xxhash64("key").alias("h"))
+    # O(m) state per partition, O(parts*m) rows shuffled
     candidates = (
-        mg_partition_summaries(keys, m)
+        mg_partition_summaries(hashed, m, key_type="bigint")
         .groupBy("key")
         .agg(F.sum("c").alias("lb"))
-        .select("key")
+        .select(F.col("key").alias("h"))
     )
-    # pass 2: exact recount of candidates only (map-side combine keeps
-    # the shuffle candidate-sized)
+    # pass 2: exact recount of candidates only, on the REAL key (a hash
+    # collision is filtered out here by losing the top-25 cut; map-side
+    # combine keeps the shuffle candidate-sized)
     exact = (
-        keys.join(F.broadcast(candidates), "key")
+        keys.withColumn("h", F.xxhash64("key"))
+        .join(F.broadcast(candidates), "h")
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n_total"))
     )

@@ -161,6 +161,8 @@ HEADLINE = [
     "embedding_gram",
     "embedding_pca_power",
     "sample_leakage_free_split",
+    "dws_funnel_conversion",
+    "dws_retention_cohorts",
 ]
 
 

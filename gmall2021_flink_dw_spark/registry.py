@@ -212,6 +212,8 @@ _DRIVER_WINDOW = (
 _PENDING_FIRST_WINDOW = (
     "embedding_pca_power",
     "sample_leakage_free_split",
+    "dws_funnel_conversion",
+    "dws_retention_cohorts",
 )
 
 

@@ -119,8 +119,16 @@ _WINDOW_ROUND = 9
 # evidence) plus any queries new or replanned this round — new
 # queries swap in as they land, displacing tail fill; (c) fill from
 # the r06 cohort (48 queries) in registration order.
+# CAPACITY NOTE (end of r09): the census reached 152 registered
+# queries, past the 150 = 3x50 ceiling that made a staleness bound of
+# 2 feasible; tests/test_catalog.py now derives the bound as
+# ceil(N/50)-1 (= 3 at 152, floored at 2). The r10 rebuild MUST place
+# the _PENDING_FIRST_WINDOW names (zero driver evidence) first, then
+# fill the remaining 46 slots from the 48-name r06 cohort below,
+# oldest-first; the ~2 spilled names sit at effective staleness 3 (the
+# new bound, still legal) and lead r11 together with the r07 cohort.
 # The r06-cohort names left out are effective staleness exactly 2
-# at r09 — within bound — and MUST front-load r10:
+# at r09 — within bound — and front-load r10:
 # corpus_summary, corpus_train_pipeline, sample_mix_allocator,
 # dedup_paragraphs, dws_keyword_stats_zh, cdc_asof_enrich, tpch_q5, tpch_q6,
 # tpch_q4_semi, tpch_q16_anti, tpch_q12_caseagg, tpch_q14_promo,

@@ -32,7 +32,21 @@ from gmall2021_flink_dw_spark.registry import (
     load_all,
 )
 
-MAX_STALENESS = 2  # rounds a query may go without a fresh driver row
+# Staleness bound: how many SUCCESSFUL driver rounds a query may go
+# without a fresh row. The driver records a 50-entry prefix per round,
+# so a census of N registered queries cannot cycle faster than
+# ceil(N/50) rounds — the bound is structural, not a preference:
+# at 150 queries the old bound of 2 was exactly feasible; the r09
+# census (152) exceeds 3x50, so the feasible bound is
+# ceil(N/50) - 1 = 3. Floored at 2 so shrinking the registry never
+# silently loosens expectations below the historical bound.
+def _max_staleness() -> int:
+    import math
+
+    return max(2, math.ceil(len(load_all()) / 50) - 1)
+
+
+MAX_STALENESS = _max_staleness()
 
 
 def test_catalog_is_current():

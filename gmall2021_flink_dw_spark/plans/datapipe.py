@@ -3809,7 +3809,9 @@ def source_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall2021_flink_dw_spark.datapipe.sketch import (
-        mg_partition_summaries,
+        decode_trigram_id,
+        trigram_exact_counts,
+        trigram_mg_summaries,
     )
 
     ensure_workers_can_import(spark)
@@ -3817,54 +3819,44 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.lower(F.col("text")).alias("t")
     )
-    tri_arr = F.expr(
-        "CASE WHEN length(t) >= 3 THEN "
-        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) "
-        "ELSE array() END"
-    )
-    # persist the exploded stream: generating 1.5M substring trigrams
-    # costs ~1.6 s at sf0.1 and BOTH passes consume it (measured: the
-    # explode, not the Python MG stage, dominates the un-persisted
-    # form). Only the 1-column key projection is materialized.
-    keys = tracked_persist(docs.select(F.explode(tri_arr).alias("key")))
-    # pass 1 streams xxhash64(key) through the MG stage: Arrow ships
-    # fixed-width longs instead of strings, and a 64-bit collision only
-    # merges counters upward — the candidate set stays a guaranteed
-    # superset (see mg_partition_summaries).
-    hashed = keys.select(F.xxhash64("key").alias("h"))
-    # O(m) state per partition, O(parts*m) rows shuffled
-    candidates = (
-        mg_partition_summaries(hashed, m, key_type="bigint")
+    # pass 1: the vectorized Arrow kernel (sketch.py) — raw doc strings
+    # ship through Arrow and trigrams become packed int64 ids in numpy;
+    # no per-trigram row or UTF8String is ever materialized (the JVM
+    # explode form was linear but alloc-bound: 173 s of the 286 s total
+    # at 150M trigrams). O(m) state per partition.
+    merged = (
+        trigram_mg_summaries(docs, m)
         .groupBy("key")
         .agg(F.sum("c").alias("lb"))
-        .select(F.col("key").alias("h"))
     )
-    # pass 2: exact recount of candidates only, on the REAL key (a hash
-    # collision is filtered out here by losing the top-25 cut; map-side
-    # combine keeps the shuffle candidate-sized)
+    # candidate ids are <= parts*m — the same bounded-collect contract
+    # as the BPE vocab table
+    cand_ids = [r.key for r in merged.collect()]
+    # pass 2: exact recount restricted to candidates (same kernel,
+    # np.isin filter), candidate-sized groupBy -> exact global counts
     exact = (
-        keys.withColumn("h", F.xxhash64("key"))
-        .join(F.broadcast(candidates), "h")
+        trigram_exact_counts(docs, cand_ids)
         .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("n_total"))
-    )
-    top = (
-        exact.orderBy(F.col("n_total").desc(), "key")
-        .limit(25)
-        .select(F.col("key").alias("tri"), "n_total")
+        .agg(F.sum("c").alias("n_total"))
+        .collect()
     )
     n_tot = docs.agg(
         F.sum(F.greatest(F.length("t") - 2, F.lit(0))).alias("n_tot")
-    )
+    ).head()[0]
+    # decode + top-25 on the candidate-bounded set, tie-broken by the
+    # trigram STRING (matching the oracle's ORDER BY n DESC, tri) —
+    # the packed-id order is NOT lexicographic, so the cut must happen
+    # after decoding
+    scored = sorted(
+        ((int(r.n_total), decode_trigram_id(r.key)) for r in exact),
+        key=lambda x: (-x[0], x[1]),
+    )[:25]
     # integer-exact guarantee check: c_min*(m+1) > N  <=>  c_min > N/(m+1)
-    flag = (
-        top.agg(F.min("n_total").alias("c_min"))
-        .crossJoin(F.broadcast(n_tot))
-        .select(
-            (F.col("c_min") * (m + 1) > F.col("n_tot")).alias("cover_ok")
-        )
+    cover_ok = bool(scored and scored[-1][0] * (m + 1) > int(n_tot))
+    return spark.createDataFrame(
+        [(tri, n, cover_ok) for n, tri in scored],
+        "tri string, n_total long, cover_ok boolean",
     )
-    return top.crossJoin(F.broadcast(flag))
 
 
 @register(

@@ -163,6 +163,7 @@ HEADLINE = [
     "sample_leakage_free_split",
     "dws_funnel_conversion",
     "dws_retention_cohorts",
+    "streaming_heavy_hitters",
 ]
 
 

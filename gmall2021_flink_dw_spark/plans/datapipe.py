@@ -3770,9 +3770,7 @@ def source_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_heavy_hitters",
-    oracle="""
+_HH_ORACLE = """
     WITH s AS (SELECT lower(text) AS t FROM documents),
     g AS (
       SELECT substr(t, i, 3) AS tri
@@ -3786,7 +3784,12 @@ def source_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM top, n
     )
     SELECT tri, n_total, f.cover_ok FROM top, f
-    """,
+    """
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=_HH_ORACLE,
     doc="Heavy hitters over an OPEN key space (character trigrams) via a "
     "Misra-Gries mergeable sketch (Misra & Gries 1982; Agarwal et al., "
     "Mergeable Summaries, PODS 2012) — the memory-bounded form of the "
@@ -3809,8 +3812,6 @@ def source_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall2021_flink_dw_spark.datapipe.sketch import (
-        decode_trigram_id,
-        trigram_exact_counts,
         trigram_mg_summaries,
     )
 
@@ -3832,8 +3833,24 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate ids are <= parts*m — the same bounded-collect contract
     # as the BPE vocab table
     cand_ids = [r.key for r in merged.collect()]
-    # pass 2: exact recount restricted to candidates (same kernel,
-    # np.isin filter), candidate-sized groupBy -> exact global counts
+    return _heavy_hitters_finalize(spark, docs, cand_ids, m)
+
+
+def _heavy_hitters_finalize(
+    spark: SparkSession, docs: DataFrame, cand_ids: list, m: int
+) -> DataFrame:
+    """Shared tail of the batch and streaming heavy-hitters queries:
+    exact recount restricted to the candidate ids (same Arrow kernel,
+    np.isin filter, candidate-sized groupBy), then decode + top-25 on
+    the candidate-bounded set — tie-broken by the trigram STRING
+    (matching the oracle's ORDER BY n DESC, tri; the packed-id order is
+    NOT lexicographic, so the cut must happen after decoding) — plus
+    the integer-exact guarantee flag c_min*(m+1) > N."""
+    from gmall2021_flink_dw_spark.datapipe.sketch import (
+        decode_trigram_id,
+        trigram_exact_counts,
+    )
+
     exact = (
         trigram_exact_counts(docs, cand_ids)
         .groupBy("key")
@@ -3841,22 +3858,102 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     n_tot = docs.agg(
-        F.sum(F.greatest(F.length("t") - 2, F.lit(0))).alias("n_tot")
+        F.sum(F.greatest(F.length(docs.columns[0]) - 2, F.lit(0))).alias(
+            "n_tot"
+        )
     ).head()[0]
-    # decode + top-25 on the candidate-bounded set, tie-broken by the
-    # trigram STRING (matching the oracle's ORDER BY n DESC, tri) —
-    # the packed-id order is NOT lexicographic, so the cut must happen
-    # after decoding
     scored = sorted(
         ((int(r.n_total), decode_trigram_id(r.key)) for r in exact),
         key=lambda x: (-x[0], x[1]),
     )[:25]
-    # integer-exact guarantee check: c_min*(m+1) > N  <=>  c_min > N/(m+1)
     cover_ok = bool(scored and scored[-1][0] * (m + 1) > int(n_tot))
     return spark.createDataFrame(
         [(tri, n, cover_ok) for n, tri in scored],
         "tri string, n_total long, cover_ok boolean",
     )
+
+
+# temp trees from prior streaming_heavy_hitters invocations, reclaimed
+# on the next invocation (same contract as streaming_dedup_ingest)
+_HH_STREAM_DIRS: list[str] = []
+
+
+@register(
+    "streaming_heavy_hitters",
+    oracle=_HH_ORACLE,
+    doc="ONLINE Misra-Gries maintenance over a document stream — the "
+    "trending-keys shape of the reference's KeywordStats layer, "
+    "generalized to an open key space: the corpus replays as a real "
+    "file stream in 4 micro-batches, and each trigger appends an "
+    "O(m)-sized MG-summary DELTA (the Arrow trigram kernel over just "
+    "that batch) — per-trigger cost scales with the batch, never the "
+    "accumulated corpus (the streaming_dedup_ingest log-structured "
+    "contract). MG merge is union+sum: summed lower bounds stay lower "
+    "bounds and the total undercount over any batching is still "
+    "<= N/(m+1), so the merged candidate set is BATCHING-INVARIANT — "
+    "pinned by sharing the batch query's oracle verbatim. The exact "
+    "recount + top-25 reuse the batch tail (_heavy_hitters_finalize); "
+    "at 100 TB that recount is the deferred compaction job, while the "
+    "sketch answers trending-keys queries continuously between "
+    "compactions.",
+    tags=("datapipe", "streaming", "sketch", "stateful"),
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from gmall2021_flink_dw_spark.datapipe.sketch import (
+        trigram_mg_summaries,
+    )
+
+    ensure_workers_can_import(spark)
+    m = 256
+    for stale in list(_HH_STREAM_DIRS):
+        shutil.rmtree(stale, ignore_errors=True)
+        _HH_STREAM_DIRS.remove(stale)
+    base = tempfile.mkdtemp(prefix=f"hh_stream_{_uuid.uuid4().hex[:8]}_")
+    _HH_STREAM_DIRS.append(base)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    topic_dir = os.path.join(base, "topic")
+    delta_base = os.path.join(base, "delta")
+    ckpt = os.path.join(base, "ckpt")
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lower(F.col("text")).alias("t")
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(topic_dir)
+
+    def _flush_summary(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            trigram_mg_summaries(batch_df.select("t"), m)
+            .groupBy("key")
+            .agg(F.sum("c").alias("c"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(delta_base, f"v{epoch_id}"))
+        )
+
+    q = (
+        spark.readStream.schema("t string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(topic_dir)
+        .writeStream.foreachBatch(_flush_summary)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(topic_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    merged = (
+        spark.read.parquet(os.path.join(delta_base, "v*"))
+        .groupBy("key")
+        .agg(F.sum("c").alias("lb"))
+    )
+    cand_ids = [r.key for r in merged.collect()]
+    return _heavy_hitters_finalize(spark, docs, cand_ids, m)
 
 
 @register(

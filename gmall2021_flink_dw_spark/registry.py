@@ -222,6 +222,7 @@ _PENDING_FIRST_WINDOW = (
     "sample_leakage_free_split",
     "dws_funnel_conversion",
     "dws_retention_cohorts",
+    "streaming_heavy_hitters",
 )
 
 

@@ -1064,3 +1064,20 @@ def test_pca_power_aligns_with_true_eigenvector(spark):
         w = g @ v
         v = w / np.linalg.norm(w)
     assert float(v @ g @ v) >= 0.99 * l1
+
+
+def test_streaming_heavy_hitters_matches_batch(spark):
+    """The online MG form must equal the batch query exactly on the
+    same corpus — union+sum of per-batch summaries preserves the
+    N/(m+1) undercount bound, so candidates (hence the exact top-25)
+    are batching-invariant."""
+    batch = (
+        REGISTRY["text_heavy_hitters"].fn(spark, ORACLE_SF).toPandas()
+    )
+    stream = (
+        REGISTRY["streaming_heavy_hitters"].fn(spark, ORACLE_SF).toPandas()
+    )
+    assert batch[["tri", "n_total"]].values.tolist() == (
+        stream[["tri", "n_total"]].values.tolist()
+    )
+    assert stream.cover_ok.all()

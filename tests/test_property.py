@@ -133,3 +133,66 @@ def test_connected_components_matches_union_find(spark, raw_edges):
     # min node id per component == the union-find root under min-merge
     want = {(n, uf.find(n)) for n in nodes}
     assert got == want
+
+
+# ------------------------------------------------------------- r09:
+# the vectorized trigram kernel (datapipe/sketch.py)
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="\x00"
+        ),
+        max_size=12,
+    ),
+    max_size=8,
+)
+
+
+@given(_texts)
+@settings(**_SETTINGS)
+def test_trigram_kernel_matches_python_reference(texts):
+    """The packed-int64 UTF-32 window kernel must produce exactly the
+    multiset of character trigrams a naive per-string Python slide
+    produces — including boundary masking (no window crosses a doc) and
+    multibyte codepoints."""
+    from collections import Counter
+
+    from gmall2021_flink_dw_spark.datapipe.sketch import (
+        _trigram_ids,
+        decode_trigram_id,
+    )
+
+    got = Counter(
+        decode_trigram_id(int(t)) for t in _trigram_ids(texts)
+    )
+    want = Counter(
+        t[i : i + 3] for t in texts for i in range(len(t) - 2)
+    )
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=200),
+    st.integers(2, 8),
+)
+@settings(**_SETTINGS)
+def test_mg_shrink_never_evicts_heavy_keys(stream_ints, m):
+    """Randomized MG property: after any interleaving of merges and
+    shrinks, every key with true count > N/(m+1) survives with a lower
+    bound within the textbook undercount."""
+    from gmall2021_flink_dw_spark.datapipe.sketch import _mg_shrink
+
+    exact: dict[int, int] = {}
+    mg: dict[int, int] = {}
+    for i, k in enumerate(stream_ints):
+        exact[k] = exact.get(k, 0) + 1
+        mg[k] = mg.get(k, 0) + 1
+        if i % 7 == 0:
+            _mg_shrink(mg, m)
+            assert len(mg) <= m
+    _mg_shrink(mg, m)
+    n = len(stream_ints)
+    for k, c in exact.items():
+        assert mg.get(k, 0) <= c
+        assert c - mg.get(k, 0) <= n / (m + 1)

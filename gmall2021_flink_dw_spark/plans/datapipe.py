@@ -3960,7 +3960,10 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_dsir",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, lang, unnest({TOKENS_SQL}) AS tk FROM documents
+      SELECT doc_id, lang,
+             unnest(list_concat(w, list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i + 1]))) AS tk
+      FROM (SELECT doc_id, lang, {TOKENS_SQL} AS w FROM documents)
     ),
     dtf AS (
       SELECT doc_id, lang,
@@ -3982,27 +3985,27 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / (tots.t_tot + 512))
                         - ln((r.cr + 1)::DOUBLE / (tots.r_tot + 512))))
                AS logw,
-             sum(d.k)::BIGINT AS n_tokens
+             sum(d.k)::BIGINT AS n_feats
       FROM dtf d JOIN raw r USING (b) LEFT JOIN tgt t USING (b)
       CROSS JOIN tots
       GROUP BY 1
     ),
     keyed AS (
-      SELECT doc_id, n_tokens, logw,
+      SELECT doc_id, n_feats, logw,
              logw - ln(-ln(
                (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                 % 1000000 + 0.5) / 1000000.0)) AS gk
       FROM doc
     )
-    SELECT doc_id, n_tokens, round(logw, 6) AS logw,
+    SELECT doc_id, n_feats, round(logw, 6) AS logw,
            round(gk, 6) AS gumbel_key
     FROM keyed ORDER BY gk DESC, doc_id LIMIT 64
     """,
     doc="DSIR — Data Selection with Importance Resampling (Xie et al., "
     "NeurIPS 2023): select pretraining documents whose hashed-n-gram "
     "feature distribution looks like a target corpus. Features are "
-    "md5-hashed token buckets (B=512; the paper uses 10k buckets over "
-    "uni+bigrams); the raw and target (lang='en' stands in for the "
+    "md5-hashed UNIGRAM + BIGRAM buckets (B=512; the paper uses 10k "
+    "buckets over the same uni+bigram mix); the raw and target (lang='en' stands in for the "
     "high-quality target) bucket models are add-one-smoothed "
     "multinomials; each doc scores the log importance weight "
     "sum_b k_b * ln(p_target(b)/p_raw(b)); selection is Gumbel top-k "
@@ -4028,8 +4031,21 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_tokens(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "__tokens"
     )
+    t = F.col("__tokens")
+    # uni+bigram feature stream (bigrams as "w1 w2" strings); the guard
+    # matters: sequence(1, -1) DESCENDS in Spark, so empty/1-token docs
+    # must short-circuit to an empty array
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     tok = docs.select(
-        "doc_id", "lang", F.explode("__tokens").alias("tk")
+        "doc_id", "lang", F.explode(F.concat(t, bigrams)).alias("tk")
     )
     bucket = (
         F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("bigint")
@@ -4069,7 +4085,7 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.sum("term").alias("logw"),
-        F.sum("k").cast("bigint").alias("n_tokens"),
+        F.sum("k").cast("bigint").alias("n_feats"),
     )
     u = (
         F.conv(
@@ -4086,7 +4102,7 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(64)
         .select(
             "doc_id",
-            "n_tokens",
+            "n_feats",
             F.round("logw", 6).alias("logw"),
             F.round("gk", 6).alias("gumbel_key"),
         )

@@ -432,9 +432,11 @@ def dws_uv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "progression per user-day). Strictly-ordered semantics via staged "
     "minima: t1 = first view, t2 = first click AFTER t1, t3 = first "
     "purchase AFTER t2 — each stage an equi-join on (user, day) plus a "
-    "range filter, never a nested loop. All three stage tables group "
-    "on the SAME key, so the three shuffles collapse onto one exchange "
-    "lineage (AQE reuses the partitioning); counts are exact integers. "
+    "range filter, never a nested loop. Each stage shuffles only its "
+    "OWN event-type slice (a fraction of the corpus, filter pushed to "
+    "the scan) on the shared (user, day) key, and Catalyst de-dupes "
+    "the repeated stage sub-plans via ReusedExchange (verified in the "
+    "physical plan); counts are exact integers. "
     "At 100 TB this beats the collect_list-and-fold form: no per-group "
     "array materialization, no skew amplification on hot users — the "
     "biggest group costs one min() per stage.",

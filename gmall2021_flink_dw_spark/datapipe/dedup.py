@@ -563,30 +563,54 @@ def merged_duplicate_spans_hashed(
     Why it exists (measured, BASELINE.md r09): at the third decade
     (126M grams) the exact form's string aggregation goes sort-based
     and spill-bound (189.9 s, a 45x decade ratio); hashing turns it
-    into a fixed-width long agg and cuts the shuffled bytes ~3x —
-    36.7 s, 5.2x faster, decade ratio 14x. Collision contract: a 64-bit collision
-    would mark a unique position as duplicated — odds n^2/2^65 (~5e-4
-    at 126M grams, negligible below ~1e9 grams; swap in a 128-bit hash
-    — e.g. both halves of md5 — beyond that). The driver's oracle for
-    this query is the EXACT SQL recomputation, so any collision at
-    checked scale would surface as a hash mismatch, not hide.
+    into a fixed-width long key and cuts the shuffled bytes ~3x.
+    Collision contract: a 64-bit collision would mark a unique
+    position as duplicated — odds n^2/2^65 (~5e-4 at 126M grams,
+    negligible below ~1e9 grams; swap in a 128-bit hash — e.g. both
+    halves of md5 — beyond that). The driver's oracle for this query
+    is the EXACT SQL recomputation, so any collision at checked scale
+    would surface as a hash mismatch, not hide.
+
+    Plan shape (r10 — the VERDICT r09 "persist-bound" fix, two parts):
+    (1) ONE shuffle of the gram stream by k, then count() OVER
+    (PARTITION BY k) inside the sorted partition and a c > 1 filter.
+    The r09 form persisted the 126M-row gram stream and consumed it
+    twice (groupBy-agg shuffle + hit-join shuffle); the persist itself
+    was the measured third-decade bound (36.7 s, 14x for 10x data).
+    The window form shuffles the stream ONCE, persists nothing, and
+    the in-partition sort is an 8-byte-prefix radix sort over longs.
+    (2) The shuffled row is exactly TWO longs: (doc_id, pos) packs
+    into one (dp = doc_id << 32 | pos; both fit 31 bits at every
+    generated scale) next to the 8-byte key. Measured (solo, min-of-3,
+    BASELINE.md r10): sf1 2.59 -> 2.09 s, g10 36.7 -> 15.8 s — decade
+    ratio 14x -> 7.5x, back under linear.
+
+    Road not taken (measured r10): generating the keys in an Arrow
+    rolling-hash kernel (the trigram-kernel precedent) LOST to the
+    JVM explode+substr+xxhash64 path here — 33.2 vs 24.0 s at g10 —
+    because unlike the MG sketch the kernel's OUTPUT is the full
+    126M-row stream, and shipping it back across Arrow costs more
+    than the JVM's per-window string allocs. The kernel stays in
+    datapipe/sketch.py::window_hash_stream for output-reducing uses.
     """
-    grams = tracked_persist(
-        _gram_stream(docs, min_len).select(
-            "doc_id",
-            "pos",
-            F.xxhash64(
-                F.col("text").substr(F.col("pos") + 1, F.lit(min_len))
-            ).alias("k"),
+    grams = _gram_stream(docs, min_len).select(
+        F.shiftleft(F.col("doc_id").cast("long"), 32)
+        .bitwiseOR(F.col("pos").cast("long"))
+        .alias("dp"),
+        F.xxhash64(
+            F.col("text").substr(F.col("pos") + 1, F.lit(min_len))
+        ).alias("k"),
+    )
+    hits = (
+        grams.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("k"))
+        )
+        .where(F.col("c") > 1)
+        .select(
+            F.shiftright(F.col("dp"), 32).alias("doc_id"),
+            F.col("dp").bitwiseAND(F.lit(4294967295)).cast("int").alias("pos"),
         )
     )
-    dup = (
-        grams.groupBy("k")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") > 1)
-        .select("k")
-    )
-    hits = grams.join(dup, "k").select("doc_id", "pos")
     return _merge_hit_positions(hits, min_len)
 
 

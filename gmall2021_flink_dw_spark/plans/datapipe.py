@@ -698,12 +698,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SCALE-PATH twin of dedup_substring_spans: the corpus-wide "
     "frequency key is xxhash64(gram) — 8 fixed-width bytes computed in "
     "the projection that builds the substring, so no gram string is "
-    "ever shuffled or persisted. Measured at the third decade (126M "
-    "grams) where the exact form's string sort-agg goes spill-bound "
-    "(BASELINE.md r09). The oracle is the EXACT recomputation: a "
-    "64-bit collision (odds n^2/2^65, ~4e-10 at checked scale) would "
-    "surface as a driver hash mismatch rather than hide. "
-    "datapipe/dedup.py:merged_duplicate_spans_hashed.",
+    "ever shuffled, and (r10) NOTHING is persisted: the duplicate "
+    "test is count() OVER (PARTITION BY k) inside the plan's one "
+    "shuffle, with (doc_id,pos) packed into a single long. Third "
+    "decade (126M grams): 36.7 s (r09 persist form) -> 15.8 s, decade "
+    "ratio 14x -> 7.5x (BASELINE.md r10). The oracle is the EXACT "
+    "recomputation: a 64-bit collision (odds n^2/2^65, ~4e-10 at "
+    "checked scale) would surface as a driver hash mismatch rather "
+    "than hide. datapipe/dedup.py:merged_duplicate_spans_hashed.",
     tags=("datapipe", "dedup", "window", "approx-scale-path"),
 )
 def dedup_substring_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:

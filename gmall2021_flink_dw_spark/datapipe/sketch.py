@@ -16,7 +16,11 @@ al., "Mergeable Summaries", PODS 2012) bounds BOTH to ``m`` counters:
           Arrow-batched: each batch is counted vectorized
           (``value_counts``), merged into the running dict, and when the
           dict exceeds m the (len-m)-th smallest count q is subtracted
-          from every counter and non-positive ones dropped.  Subtracting
+          from every counter and non-positive ones dropped.  Peak state
+          during a merge is therefore O(m + distinct keys in the batch)
+          — batch-bounded, collapsing back to <= m counters between
+          batches (shrinking mid-merge would buy a strict m bound at
+          the cost of re-sorting per insertion).  Subtracting
           q from >= m+1 counters removes >= q*(m+1) stream mass, so the
           TOTAL undercount of any key is <= N/(m+1) over the whole
           stream — the textbook MG bound survives batching.

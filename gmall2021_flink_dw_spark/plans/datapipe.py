@@ -3096,6 +3096,23 @@ def dedup_substring_clean_keepfirst(
     return remove_duplicate_spans_keepfirst(docs, min_len=50)
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp with an atexit rmtree hook. Every round-trip /
+    maintenance query writes a corpus-sized scratch tree; without the
+    reclaim hook a long bench session leaks temp disk per invocation
+    (ADVICE r09) — same lifecycle the streaming replay dirs already
+    use (_HH_STREAM_DIRS / dedup_stream)."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix=f"{prefix}_{uuid.uuid4().hex[:8]}_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
+
 # -------------------------------------------- source-format lane (r09)
 
 
@@ -3126,10 +3143,8 @@ def dedup_substring_clean_keepfirst(
 )
 def source_jsonl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
-    import uuid
 
-    base = tempfile.mkdtemp(prefix=f"jsonl_src_{uuid.uuid4().hex[:8]}_")
+    base = _scratch_dir("jsonl_src")
     out = os.path.join(base, "events_jsonl")
     events = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -3183,10 +3198,8 @@ def source_jsonl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_orc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
-    import uuid
 
-    base = tempfile.mkdtemp(prefix=f"orc_src_{uuid.uuid4().hex[:8]}_")
+    base = _scratch_dir("orc_src")
     out = os.path.join(base, "events_orc")
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
@@ -3237,10 +3250,8 @@ def source_orc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_csv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
-    import uuid
 
-    base = tempfile.mkdtemp(prefix=f"csv_src_{uuid.uuid4().hex[:8]}_")
+    base = _scratch_dir("csv_src")
     out = os.path.join(base, "docs_csv")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -3263,6 +3274,10 @@ def source_csv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", "true")
         .option("multiLine", "true")
         .option("escape", '"')
+        # FAILFAST (parity with the JSONL lane): a mis-split multiLine
+        # record must be a loud parse error, not PERMISSIVE nulls that
+        # surface only as a downstream hash mismatch (ADVICE r09)
+        .option("mode", "FAILFAST")
         .csv(out)
     )
     return back.groupBy("source").agg(
@@ -3495,10 +3510,8 @@ def shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
-    import uuid
 
-    base = tempfile.mkdtemp(prefix=f"schevo_{uuid.uuid4().hex[:8]}_")
+    base = _scratch_dir("schevo")
     events = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -3555,10 +3568,8 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lake_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
-    import uuid
 
-    base = tempfile.mkdtemp(prefix=f"compact_{uuid.uuid4().hex[:8]}_")
+    base = _scratch_dir("compact")
     messy_dir = os.path.join(base, "messy")
     tidy_dir = os.path.join(base, "tidy")
     events = load_table(spark, sf_dir, "events").select(
@@ -4144,10 +4155,8 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lake_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
-    import uuid
 
-    base = tempfile.mkdtemp(prefix=f"zorder_{uuid.uuid4().hex[:8]}_")
+    base = _scratch_dir("zorder")
     zdir, ldir = os.path.join(base, "zorder"), os.path.join(base, "linear")
     events = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -4155,8 +4164,20 @@ def lake_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    x = F.col("user_id")
-    y = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+    # Bit budget (ADVICE r09): 20 bits per dimension. The loop below
+    # reads only the LOW 20 bits of each key, so user_id >= 2^20 or an
+    # hour ordinal past 2^20 (year ~2089 on the unix-epoch base) would
+    # WRAP into the same z-range as its low-bit twin — correctness
+    # (the returned aggregate) is untouched, but clustering quality
+    # degrades to modulo-2^20 locality. The generator satisfies both
+    # bounds (user_id < 10k, ts in 2024); at real cardinalities derive
+    # the per-dimension bit width from max(key) at write time.
+    x = F.col("user_id").bitwiseAND(F.lit((1 << 20) - 1))
+    y = (
+        F.floor(F.unix_timestamp("ts") / 3600)
+        .cast("bigint")
+        .bitwiseAND(F.lit((1 << 20) - 1))
+    )
     z = F.lit(0).cast("bigint")
     for i in range(20):  # 20 bits per dimension -> 40-bit Morton code
         z = z + F.shiftleft(
@@ -4221,7 +4242,10 @@ def _power_iteration_ctes(iters: int = 48) -> str:
     """Unrolled power-method SQL over the mirrored Gram: v_{t+1} =
     normalize(G v_t), fixed start 1/sqrt(64). Unrolled (not a recursive
     CTE) because standard SQL forbids aggregation in the recursive
-    term; 8 static matvec+normalize stages keep the oracle portable.
+    term; the stage count is parameterized (48 at the only call site —
+    the near-isotropic synthetic Gram has lambda2/lambda1 = 0.984, so
+    convergence needs ~48 steps) and the static unroll keeps the
+    oracle portable.
     Every stage is AS MATERIALIZED: DuckDB inlines plain CTEs, and each
     stage references its predecessor twice (w_t feeds n_t and u_t), so
     un-materialized the chain re-evaluates 2^iters times (measured:

@@ -137,3 +137,34 @@ def test_pending_first_window_is_small_and_genuine():
         assert name in reg, f"{name}: pending but not registered"
         assert name not in _DRIVER_WINDOW, f"{name}: already windowed"
         assert name not in rounds, f"{name}: already has driver evidence"
+
+
+def test_census_governor_capacity_arithmetic():
+    """Pin the capacity() arithmetic (VERDICT r09 item 6) and fail CI
+    the moment the census would push the staleness bound past 3 — the
+    r10 level. Growing past 200 registered queries means a query can
+    legally wait FOUR successful driver rounds between checks; that is
+    a policy decision, not a side effect of adding one more query, so
+    the grower must consciously raise this pin together with a new
+    window pre-commitment in registry.py."""
+    import tools.gen_catalog as g
+
+    # arithmetic pins: bound floors at 2, steps at multiples of 50
+    assert g.capacity(100) == (2, 50)
+    assert g.capacity(150) == (2, 0)
+    assert g.capacity(151) == (3, 49)
+    assert g.capacity(200) == (3, 0)
+    assert g.capacity(201) == (4, 49)
+
+    n = len(load_all())
+    bound, headroom = g.capacity(n)
+    assert bound <= 3, (
+        f"census {n} pushes the staleness bound to {bound}; raise the "
+        "policy pin consciously (registry.py window pre-commitment + "
+        "this test) or retire queries"
+    )
+    # the CATALOG header must surface the governor's numbers
+    with open(os.path.join(os.path.dirname(g.__file__), os.pardir,
+                           "CATALOG.md")) as f:
+        head = f.read(2000)
+    assert f"census {n}" in head and f"headroom {headroom}" in head

@@ -4024,14 +4024,20 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum_b k_b * ln(p_target(b)/p_raw(b)); selection is Gumbel top-k "
     "(the paper's sampling-without-replacement trick), with the Gumbel "
     "noise derived deterministically from md5(doc_id) so both engines "
-    "draw identical 'randomness'. Plan: ONE corpus shuffle to "
-    "per-(doc,bucket) counts; both models re-aggregate that table and "
-    "are B-bounded, so they BROADCAST into the scoring join; one "
-    "shuffle back to per-doc sums; final top-64 is "
+    "draw identical 'randomness'. Plan (r10, the VERDICT r09 scale "
+    "lever): ZERO corpus shuffles — pass 1 fits both B-bounded models "
+    "via the dictionary-encoding Arrow kernel (datapipe/dsir.py: one "
+    "md5 per DISTINCT feature per batch, <=512 histogram rows leave "
+    "each partition); the 512 ln-weights are computed in a JVM job "
+    "and collected (Gram-style bounded collect); pass 2 scores each "
+    "doc in the same kernel (bincount + GEMV against the weight "
+    "vector) emitting one row per doc; final top-64 is "
     "TakeOrderedAndProject (no global sort, no single-partition "
-    "window). At 100 TB the models are exactly the paper's "
-    "importance-weight tables: vocabulary-independent fixed-size "
-    "arrays, fit in one pass, reusable across selection runs. "
+    "window). Third decade measured 108.6 -> 18.2 s, decade ratio "
+    "9.8x -> 5.7x (BASELINE.md r10). At 100 TB the models are exactly "
+    "the paper's importance-weight tables: vocabulary-independent "
+    "fixed-size arrays, fit in one pass, reusable across selection "
+    "runs. "
     "Float contract follows text_perplexity: ln() terms are "
     "order-summed doubles, emitted round(,6); the Gumbel gap between "
     "adjacent ranks is O(0.1), so sub-ulp engine noise cannot flip "
@@ -4044,62 +4050,53 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_tokens(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "__tokens"
     )
-    t = F.col("__tokens")
-    # uni+bigram feature stream (bigrams as "w1 w2" strings); the guard
-    # matters: sequence(1, -1) DESCENDS in Spark, so empty/1-token docs
-    # must short-circuit to an empty array
-    bigrams = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    tok = docs.select(
-        "doc_id", "lang", F.explode(F.concat(t, bigrams)).alias("tk")
+    # --- pass 1: fit BOTH bucket models in one pass through the
+    # dictionary-encoding Arrow kernel (datapipe/dsir.py — one md5 per
+    # DISTINCT feature per batch, not per instance; the JVM explode+
+    # md5 form measured ~40 s/pass at g10 on instance-wise hashing).
+    # Each partition emits <= B=512 histogram rows, so the groupBy
+    # shuffles B rows per task regardless of corpus size.
+    from gmall2021_flink_dw_spark.datapipe.dsir import (
+        dsir_model_partials,
+        dsir_scores,
     )
-    bucket = (
-        F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("bigint")
-        % B
-    )
-    dtf = tracked_persist(
-        tok.select("doc_id", "lang", bucket.alias("b"))
-        .groupBy("doc_id", "lang", "b")
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
-    raw = dtf.groupBy("b").agg(F.sum("k").alias("cr"))
-    tgt = (
-        dtf.where(F.col("lang") == "en")
+
+    ensure_workers_can_import(spark)
+    model_rows = (
+        dsir_model_partials(docs, B)
         .groupBy("b")
-        .agg(F.sum("k").alias("ct"))
+        .agg(F.sum("cr").alias("cr"), F.sum("ct").alias("ct"))
+        .collect()
     )
-    tots = raw.agg(F.sum("cr").alias("r_tot")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("t_tot"))
+    r_tot = sum(r["cr"] for r in model_rows)
+    t_tot = sum(r["ct"] for r in model_rows)
+    # ln() stays in the JVM (the engine the oracle was calibrated
+    # against): a 512-row local frame computes the per-bucket weight
+    # w_b = ln p_tgt(b) - ln p_raw(b), collected into a literal array.
+    # Gram-style bounded-collect contract: B rows, corpus-independent.
+    spark_l = docs.sparkSession
+    wdf = spark_l.createDataFrame(
+        [(int(r["b"]), int(r["cr"]), int(r["ct"])) for r in model_rows],
+        "b int, cr long, ct long",
+    ).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1).cast("double") / F.lit(float(t_tot + B)))
+            - F.log(
+                (F.col("cr") + 1).cast("double") / F.lit(float(r_tot + B))
+            )
+        ).alias("w"),
     )
-    scored = (
-        dtf.join(F.broadcast(raw), "b")
-        .join(F.broadcast(tgt), "b", "left")
-        .crossJoin(F.broadcast(tots))
-        .withColumn(
-            "term",
-            F.col("k")
-            * (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                    / (F.col("t_tot") + B)
-                )
-                - F.log(
-                    (F.col("cr") + 1).cast("double") / (F.col("r_tot") + B)
-                )
-            ),
-        )
-    )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.sum("term").alias("logw"),
-        F.sum("k").cast("bigint").alias("n_feats"),
-    )
+    weights = [0.0] * B
+    for r in wdf.collect():
+        weights[r["b"]] = r["w"]
+
+    # --- pass 2: score per doc with ZERO shuffle — the same kernel
+    # dictionary-encodes each batch, bincounts per-(doc,bucket) integer
+    # k_b, and emits one (doc_id, logw, n_feats) row per doc with
+    # logw = sum_b k_b * w_b (the oracle's own association: integer
+    # count times weight, summed over buckets).
+    per_doc = dsir_scores(docs, weights, B)
     u = (
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),

@@ -1081,3 +1081,53 @@ def test_streaming_heavy_hitters_matches_batch(spark):
         stream[["tri", "n_total"]].values.tolist()
     )
     assert stream.cover_ok.all()
+
+
+def test_dsir_kernel_buckets_match_reference():
+    """The dictionary-encoding kernel must produce exactly the
+    (instance -> md5 bucket) multiset a naive per-instance Python
+    recomputation produces — unigrams and bigrams, doc boundaries
+    respected, md5 semantics identical to Spark conv(substring(
+    md5(tk),1,8),16,10) % B."""
+    import hashlib
+    from collections import Counter
+
+    import numpy as np
+
+    from gmall2021_flink_dw_spark.datapipe.dsir import (
+        _batch_feature_buckets,
+    )
+
+    B = 512
+    toks = [
+        ["a", "b", "a", "b", "c"],
+        [],
+        ["solo"],
+        ["x", "x", "x"],
+        ["a", "b"],
+    ]
+    doc_idx, bucket = _batch_feature_buckets(toks, B)
+
+    def ref_bucket(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % B
+
+    want = Counter()
+    for i, tl in enumerate(toks):
+        for tk in tl:
+            want[(i, ref_bucket(tk))] += 1
+        for a, b in zip(tl, tl[1:]):
+            want[(i, ref_bucket(a + " " + b))] += 1
+    got = Counter(zip(doc_idx.tolist(), bucket.tolist()))
+    assert got == want
+    assert doc_idx.dtype == np.int64 and bucket.dtype == np.int64
+
+
+def test_dsir_kernel_empty_batch():
+    from gmall2021_flink_dw_spark.datapipe.dsir import (
+        _batch_feature_buckets,
+    )
+
+    d, b = _batch_feature_buckets([], 512)
+    assert d.size == 0 and b.size == 0
+    d, b = _batch_feature_buckets([[], []], 512)
+    assert d.size == 0 and b.size == 0

@@ -20,6 +20,7 @@ the generated image (solid color derived from the content hash).
 
 from __future__ import annotations
 
+import math
 import struct
 from collections.abc import Iterator
 
@@ -748,6 +749,355 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, int]:
     raise ValueError("truncated GIF: missing trailer")
 
 
+# ------------------------------------ baseline JPEG gray codec (r10)
+#
+# Fifth (and last common) format for the mixed lane: BASELINE
+# sequential-DCT JPEG, 8-bit single-component (grayscale), stdlib-only
+# — JFIF marker stream, DQT/SOF0/DHT/SOS parse, canonical Huffman
+# entropy decode with FF00 unstuffing, dequantize, dezigzag, float
+# separable IDCT, level shift. The DECODER is general for baseline
+# grayscale; the generated corpus keeps the oracle closed-form by
+# encoding FLAT 8x8 blocks with DC quantization step 8: a flat block's
+# DCT is DC-only with DC = 8*(v-128), quantizing by 8 is exact, and
+# the DC-only IDCT reconstructs the flat value to within float
+# epsilon, so decode(encode(img)) == img bit-exactly and a SQL oracle
+# can recompute every decoded pixel. JPEG is lossy in general — this
+# lane pins the subset where it provably is not, the same contract
+# discipline as the LZW/deflate lanes (which are lossless outright).
+
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# quant table (zigzag order): DC step 8 (exact for flat blocks), AC 16
+_JPEG_QTABLE = (8,) + (16,) * 63
+
+# canonical DHT specs: (counts per code length 1..16, symbols)
+# DC: 9 symbols (categories 0..8) all at length 4 — 9 < 15 codes so
+# the all-ones code stays unused as JPEG requires. AC: one symbol
+# (0x00 = EOB) at length 1.
+_JPEG_DC_SPEC = ((0, 0, 0, 9) + (0,) * 12, tuple(range(9)))
+_JPEG_AC_SPEC = ((1,) + (0,) * 15, (0x00,))
+
+
+def _huff_codes(counts, symbols):
+    """symbol -> (code, length) canonical assignment (JPEG C.2)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def _dht_segment(tclass: int, tid: int, spec) -> bytes:
+    counts, symbols = spec
+    body = bytes(((tclass << 4) | tid,)) + bytes(counts) + bytes(symbols)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_gray_blocks(
+    width: int, height: int, block_values: list[int]
+) -> bytes:
+    """REAL baseline JPEG (grayscale) of an image made of flat 8x8
+    blocks — block b (row-major over the block grid) is uniformly
+    block_values[b]. Dimensions must be multiples of 8. Any baseline
+    decoder opens the bytes; ours reconstructs them bit-exactly (see
+    module comment for why flatness + DC step 8 makes this lossless)."""
+    if width % 8 or height % 8:
+        raise ValueError("patterned JPEG lane uses multiple-of-8 dims")
+    bx, by = width // 8, height // 8
+    if len(block_values) != bx * by:
+        raise ValueError("block value array does not match dimensions")
+    dc_codes = _huff_codes(*_JPEG_DC_SPEC)
+    ac_codes = _huff_codes(*_JPEG_AC_SPEC)
+    w = _BitWriter()
+    prev = 0
+    for v in block_values:
+        if not 0 <= v <= 255:
+            raise ValueError("gray value out of range")
+        s = v - 128  # quantized DC code (= DCT DC / qstep, exact)
+        diff = s - prev
+        prev = s
+        cat = abs(diff).bit_length()
+        if cat > 8:
+            raise ValueError("DC category out of table range")
+        code, length = dc_codes[cat]
+        w.put(code, length)
+        if cat:
+            bits = diff if diff > 0 else diff + (1 << cat) - 1
+            w.put(bits, cat)
+        code, length = ac_codes[0x00]  # EOB: all 63 AC coeffs zero
+        w.put(code, length)
+    entropy = w.flush()
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(_JPEG_QTABLE)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, height, width, 1)
+        + bytes((1, 0x11, 0))
+    )
+    sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes((1, 0x00, 0, 63, 0))
+    return (
+        b"\xff\xd8"
+        + dqt
+        + sof0
+        + _dht_segment(0, 0, _JPEG_DC_SPEC)
+        + _dht_segment(1, 0, _JPEG_AC_SPEC)
+        + sos
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with FF00
+    unstuffing; raises on markers (no restart support — the generated
+    corpus carries none) and on exhaustion."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG marker in stream")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"unexpected JPEG marker 0xff{nxt:02x} mid-scan"
+                    )
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(reader: "_BitReader", table: dict) -> int:
+    """table maps (code, length) -> symbol; JPEG codes are <= 16 bits."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+_IDCT_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_IDCT_C = [math.sqrt(0.5) if u == 0 else 1.0 for u in range(8)]
+
+
+def _idct8x8(coeffs: list[int]) -> list[int]:
+    """Float separable 2-D inverse DCT (row-major 64 coeffs in natural
+    order) -> 64 clamped 8-bit samples after +128 level shift."""
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            tmp[y][x] = 0.5 * sum(
+                _IDCT_C[u] * coeffs[y * 8 + u] * _IDCT_COS[x][u]
+                for u in range(8)
+            )
+    out = [0] * 64
+    for y in range(8):
+        for x in range(8):
+            v = 0.5 * sum(
+                _IDCT_C[u] * tmp[u][x] * _IDCT_COS[y][u] for u in range(8)
+            )
+            p = int(round(v)) + 128
+            out[y * 8 + x] = 0 if p < 0 else (255 if p > 255 else p)
+    return out
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL baseline-DCT grayscale JPEG decoder (stdlib-only): marker
+    walk, DQT (8-bit tables), SOF0 (rejects progressive/multi-
+    component), DHT canonical rebuild, SOS entropy decode (Huffman DC
+    categories + AC run/size with EOB/ZRL), dezigzag, dequantize,
+    float IDCT, level shift. Returns (width, height, gray_pixels
+    row-major). Raises ValueError on anything outside the baseline
+    grayscale contract — truncation, bad markers, oversized
+    categories, coefficient overruns."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comp_q = comp_dc = comp_ac = 0
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG marker stream")
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("JPEG contains no scan data")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if pos + seglen > len(payload):
+            raise ValueError("truncated JPEG segment")
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                qtables[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tclass, tid = body[i] >> 4, body[i] & 15
+                counts = list(body[i + 1 : i + 17])
+                n = sum(counts)
+                if i + 17 + n > len(body):
+                    raise ValueError("truncated DHT")
+                symbols = list(body[i + 17 : i + 17 + n])
+                codes = _huff_codes(counts, symbols)
+                htables[(tclass, tid)] = {
+                    (c, ln): sym for sym, (c, ln) in codes.items()
+                }
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("truncated SOF0")
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", body)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit grayscale baseline supported")
+            cid, sampling, comp_q = body[6], body[7], body[8]
+            if sampling != 0x11:
+                raise ValueError("subsampling meaningless for 1 component")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if len(body) < 6:
+                raise ValueError("truncated SOS header")
+            if body[0] != 1:
+                raise ValueError("multi-component scan unsupported")
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 15
+            pos += seglen
+            break
+        pos += seglen
+    if width is None or height is None:
+        raise ValueError("JPEG scan before frame header")
+    if width == 0 or height == 0:
+        raise ValueError("zero-dimension JPEG frame")
+    q = qtables.get(comp_q)
+    dc_tab = htables.get((0, comp_dc))
+    ac_tab = htables.get((1, comp_ac))
+    if q is None or dc_tab is None or ac_tab is None:
+        raise ValueError("JPEG scan references missing tables")
+    reader = _BitReader(payload, pos)
+    bx = (width + 7) // 8
+    by = (height + 7) // 8
+    pixels = bytearray(width * height)
+    prev = 0
+    for byi in range(by):
+        for bxi in range(bx):
+            zz = [0] * 64
+            cat = _huff_decode(reader, dc_tab)
+            if cat > 11:
+                raise ValueError("DC category out of range")
+            prev += _extend(reader.bits(cat), cat)
+            zz[0] = prev * q[0]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(reader, ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                run, size = rs >> 4, rs & 15
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid AC run/size")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k >= 64:
+                    raise ValueError("AC coefficient index overrun")
+                zz[k] = _extend(reader.bits(size), size) * q[k]
+                k += 1
+            coeffs = [0] * 64
+            for i in range(64):
+                coeffs[_ZIGZAG[i]] = zz[i]
+            block = _idct8x8(coeffs)
+            for yy in range(8):
+                py = byi * 8 + yy
+                if py >= height:
+                    break
+                row = block[yy * 8 : yy * 8 + 8]
+                for xx in range(8):
+                    px = bxi * 8 + xx
+                    if px < width:
+                        pixels[py * width + px] = row[xx]
+    return width, height, bytes(pixels)
+
+
 # ------------------------------------------- mixed-modality lane (r08)
 
 MIXED_DECODED_SCHEMA = (
@@ -758,7 +1108,8 @@ MIXED_DECODED_SCHEMA = (
 
 def attach_mixed_payload(docs: DataFrame) -> DataFrame:
     """Ingest a MIXED-modality corpus: doc_id % 4 picks the real format
-    (0 -> BMP, 1 -> PNG, 2 -> WAV, 3 -> GIF), parameters derive from
+    (0 -> BMP — or baseline-DCT grayscale JPEG when doc_id % 8 == 4
+    (r10) — 1 -> PNG, 2 -> WAV, 3 -> GIF), parameters derive from
     doc_id and md5(text) exactly like the BMP lane, so every decoded
     field has a closed form a SQL oracle recomputes. WAV samples are
     the ramp ((doc_id*31 + i*7) mod 65536) - 32768 over i in [0, n);
@@ -773,7 +1124,19 @@ def attach_mixed_payload(docs: DataFrame) -> DataFrame:
                 c = int(h[:2], 16)
                 kind = d % 4
                 if kind == 0:
-                    payloads.append(encode_bmp(d % 13 + 1, d % 7 + 1, (c, c, c)))
+                    if d % 8 == 4:  # r10: half the BMP slot is JPEG
+                        bx, by = d % 3 + 1, d % 5 + 1
+                        vals = [
+                            (d * 7 + b * 13) % 256
+                            for b in range(bx * by)
+                        ]
+                        payloads.append(
+                            encode_jpeg_gray_blocks(8 * bx, 8 * by, vals)
+                        )
+                    else:
+                        payloads.append(
+                            encode_bmp(d % 13 + 1, d % 7 + 1, (c, c, c))
+                        )
                 elif kind == 1:
                     payloads.append(encode_png(d % 11 + 1, d % 5 + 1, (c, c, c)))
                 elif kind == 2:
@@ -804,6 +1167,9 @@ def decode_mixed_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             if p[:2] == b"BM":
                 w, h, _, s = decode_real(p)
                 row = ("bmp", w, h, None, None, s)
+            elif p[:2] == b"\xff\xd8":
+                w, h, px = decode_jpeg_gray(p)
+                row = ("jpeg", w, h, None, None, sum(px))
             elif p[:8] == _PNG_SIG:
                 w, h, _, s = decode_png(p)
                 row = ("png", w, h, None, None, s)

@@ -465,23 +465,30 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_mixed",
     oracle="""
     SELECT doc_id,
-      CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
-           WHEN 2 THEN 'wav' ELSE 'gif' END AS fmt,
-      CASE doc_id % 4 WHEN 0 THEN (doc_id % 13 + 1)::INT
-           WHEN 1 THEN (doc_id % 11 + 1)::INT
-           WHEN 3 THEN (doc_id % 9 + 1)::INT END AS width,
-      CASE doc_id % 4 WHEN 0 THEN (doc_id % 7 + 1)::INT
-           WHEN 1 THEN (doc_id % 5 + 1)::INT
-           WHEN 3 THEN (doc_id % 6 + 1)::INT END AS height,
+      CASE WHEN doc_id % 8 = 4 THEN 'jpeg'
+           WHEN doc_id % 4 = 0 THEN 'bmp' WHEN doc_id % 4 = 1 THEN 'png'
+           WHEN doc_id % 4 = 2 THEN 'wav' ELSE 'gif' END AS fmt,
+      CASE WHEN doc_id % 8 = 4 THEN (8 * (doc_id % 3 + 1))::INT
+           WHEN doc_id % 4 = 0 THEN (doc_id % 13 + 1)::INT
+           WHEN doc_id % 4 = 1 THEN (doc_id % 11 + 1)::INT
+           WHEN doc_id % 4 = 3 THEN (doc_id % 9 + 1)::INT END AS width,
+      CASE WHEN doc_id % 8 = 4 THEN (8 * (doc_id % 5 + 1))::INT
+           WHEN doc_id % 4 = 0 THEN (doc_id % 7 + 1)::INT
+           WHEN doc_id % 4 = 1 THEN (doc_id % 5 + 1)::INT
+           WHEN doc_id % 4 = 3 THEN (doc_id % 6 + 1)::INT END AS height,
       CASE WHEN doc_id % 4 = 2 THEN 16000::INT END AS sample_rate,
       CASE WHEN doc_id % 4 = 2
            THEN (doc_id % 100 + 10)::INT END AS n_samples,
-      CASE doc_id % 4
-        WHEN 0 THEN 3 * (doc_id % 13 + 1) * (doc_id % 7 + 1)
+      CASE
+        WHEN doc_id % 8 = 4 THEN
+             CAST(list_sum(list_transform(
+                 range(0, (doc_id % 3 + 1) * (doc_id % 5 + 1)),
+                 b -> 64 * ((doc_id * 7 + b * 13) % 256))) AS BIGINT)
+        WHEN doc_id % 4 = 0 THEN 3 * (doc_id % 13 + 1) * (doc_id % 7 + 1)
                     * ('0x' || substr(md5(text), 1, 2))::BIGINT
-        WHEN 1 THEN 3 * (doc_id % 11 + 1) * (doc_id % 5 + 1)
+        WHEN doc_id % 4 = 1 THEN 3 * (doc_id % 11 + 1) * (doc_id % 5 + 1)
                     * ('0x' || substr(md5(text), 1, 2))::BIGINT
-        WHEN 3 THEN 3 * (doc_id % 9 + 1) * (doc_id % 6 + 1)
+        WHEN doc_id % 4 = 3 THEN 3 * (doc_id % 9 + 1) * (doc_id % 6 + 1)
                     * ('0x' || substr(md5(text), 1, 2))::BIGINT
         ELSE CAST(list_sum(list_transform(range(0, doc_id % 100 + 10),
              i -> ((doc_id * 31 + i * 7) % 65536) - 32768)) AS BIGINT)
@@ -493,7 +500,12 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(stdlib zlib deflate; the encoder cycles all five PNG filter "
     "types so decode exercises full filter reversal, with chunk CRC "
     "validation), real RIFF/WAVE PCM-16 (ramp samples), or real GIF87a "
-    "(r09: full variable-code-width LZW, palette mapping) — and ONE "
+    "(r09: full variable-code-width LZW, palette mapping); r10 carves "
+    "half the BMP slot (doc_id%8==4) into real BASELINE-DCT grayscale "
+    "JPEG — full DQT/SOF0/DHT/SOS parse, canonical Huffman entropy "
+    "decode, dequant, dezigzag, float IDCT — generated as flat 8x8 "
+    "blocks with DC quant step 8, the provably-lossless JPEG subset, "
+    "so the per-pixel closed form survives the lossy codec. ONE "
     "mapInPandas decode stage dispatches on magic bytes, the shape of "
     "a heterogeneous media lake where a directory is never one format. "
     "All generated parameters derive from doc_id and md5(text), so "

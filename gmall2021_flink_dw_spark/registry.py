@@ -120,6 +120,16 @@ _WINDOW_ROUND = 10
 # together with the r07 cohort (50 names, newest=r07). New r10
 # queries park in _PENDING_FIRST_WINDOW rather than displacing cohort
 # fill (displacement would push a staleness-2 name past the bound).
+# EXCEPTION (r10 mid-round): three queries were REPLANNED this round —
+# dedup_substring_spans_hashed (persist removed, single-shuffle window
+# form), sample_dsir (dictionary-encoding kernel), and
+# multimodal_decode_mixed (JPEG lane added; its ORACLE changed too, so
+# the r9 row no longer describes the committed pair). Changed plans
+# must re-verify before anything merely stale (the r02 rotation rule),
+# and _PENDING_FIRST_WINDOW only admits zero-evidence names, so they
+# swap INTO the window displacing the three newest-registered cohort
+# fills (multimodal_decode, ann_topk, text_stats), which join the r11
+# lead list at effective staleness 3 alongside the three spilled names.
 _DRIVER_WINDOW = (
     # (a) zero driver evidence — pre-committed in r09's
     # _PENDING_FIRST_WINDOW; front-loaded verbatim
@@ -173,9 +183,10 @@ _DRIVER_WINDOW = (
     "text_redact",
     "text_quality",
     "dedup_embedding_cosine",
-    "multimodal_decode",
-    "ann_topk",
-    "text_stats",
+    # (replanned this round — must re-verify; see EXCEPTION note)
+    "dedup_substring_spans_hashed",
+    "sample_dsir",
+    "multimodal_decode_mixed",
 )
 
 # Queries registered AFTER the upcoming round's 50-slot window filled.

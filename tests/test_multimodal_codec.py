@@ -255,3 +255,119 @@ def test_bmp_gray_decode_validates_like_decode_real():
     bmp = encode_bmp_gray(5, 2, list(range(10)))
     with pytest.raises(ValueError, match="truncated"):
         decode_bmp_pixels(bmp[:-1])
+
+
+# ----------------------------------------- baseline JPEG lane (r10)
+
+from gmall2021_flink_dw_spark.datapipe.multimodal import (  # noqa: E402
+    decode_jpeg_gray,
+    encode_jpeg_gray_blocks,
+)
+
+
+def test_jpeg_flat_block_roundtrip_bit_exact():
+    """Flat 8x8 blocks with DC quant step 8 are the provably-lossless
+    JPEG subset: decode(encode(img)) must reproduce every pixel."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(25):
+        bx, by = rng.randint(1, 4), rng.randint(1, 3)
+        w, h = 8 * bx, 8 * by
+        vals = [rng.randrange(256) for _ in range(bx * by)]
+        dw, dh, px = decode_jpeg_gray(encode_jpeg_gray_blocks(w, h, vals))
+        assert (dw, dh) == (w, h)
+        for b, v in enumerate(vals):
+            ox, oy = (b % bx) * 8, (b // bx) * 8
+            assert all(
+                px[(oy + yy) * w + ox + xx] == v
+                for yy in range(8)
+                for xx in range(8)
+            )
+
+
+def test_jpeg_extreme_dc_categories():
+    """Max DC swings (0 <-> 255 across blocks) exercise category 8 and
+    negative-diff bit encoding."""
+    vals = [0, 255, 0, 255, 128, 1, 254, 2]
+    w, h = 16, 32
+    dw, dh, px = decode_jpeg_gray(encode_jpeg_gray_blocks(w, h, vals))
+    assert (dw, dh) == (w, h)
+    assert px[0] == 0 and px[8] == 255
+
+
+def test_jpeg_rejects_malformed():
+    good = encode_jpeg_gray_blocks(16, 8, [5, 250])
+    # truncations: ValueError or (for cuts that only lose EOI after a
+    # complete entropy stream) a successful decode — never another
+    # exception type
+    for cut in range(2, len(good)):
+        try:
+            decode_jpeg_gray(good[:cut])
+        except ValueError:
+            pass
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"NOPE" + good[2:])
+    # single-bit corruption anywhere must raise ValueError or decode to
+    # *something* — never escape as KeyError/IndexError/struct.error
+    for i in range(2, len(good)):
+        mut = bytearray(good)
+        mut[i] ^= 0x80
+        try:
+            decode_jpeg_gray(bytes(mut))
+        except ValueError:
+            pass
+
+
+def test_jpeg_rejects_progressive_and_restart():
+    good = bytearray(encode_jpeg_gray_blocks(8, 8, [7]))
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # SOF2 progressive
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_gray(bytes(prog))
+    dri = good[: sof] + b"\xff\xdd\x00\x04\x00\x08" + good[sof:]
+    with pytest.raises(ValueError, match="estart"):
+        decode_jpeg_gray(bytes(dri))
+
+
+def test_jpeg_encoder_rejects_bad_input():
+    with pytest.raises(ValueError, match="multiple-of-8"):
+        encode_jpeg_gray_blocks(12, 8, [1, 1])
+    with pytest.raises(ValueError, match="match"):
+        encode_jpeg_gray_blocks(16, 8, [1])
+    with pytest.raises(ValueError, match="range"):
+        encode_jpeg_gray_blocks(8, 8, [300])
+
+
+# --------------------------- GIF decoder adversarial cases (r10, item 8)
+
+
+def test_gif_truncated_code_stream_and_zero_dims():
+    from gmall2021_flink_dw_spark.datapipe.multimodal import (
+        _lzw_decode,
+        encode_gif,
+    )
+
+    # LZW stream that ends mid-code (no EOI): must raise, not loop
+    idx = [0, 1] * 40
+    enc = _lzw_encode(idx, 2)
+    with pytest.raises(ValueError):
+        _lzw_decode(enc[: len(enc) // 2], 2, len(idx))
+    # zero-dimension logical screen: decoder must reject
+    g = bytearray(encode_gif(3, 2, [(1, 1, 1), (2, 2, 2)], [0, 1] * 3))
+    struct.pack_into("<H", g, 13 + 6 + 5, 0)  # image width = 0
+    with pytest.raises(ValueError):
+        decode_gif(bytes(g))
+
+
+def test_gif_oversized_code_width_clamp():
+    """A corrupt stream whose codes reference beyond the dictionary
+    must raise 'corrupt', not KeyError."""
+    from gmall2021_flink_dw_spark.datapipe.multimodal import _lzw_decode
+
+    # hand-build: clear(4), then code 7 (undefined at width 3, mcs 2)
+    # bits LSB-first: 100 (clear=4) then 111 (7)
+    data = bytes([0b00111100])
+    with pytest.raises(ValueError):
+        _lzw_decode(data, 2, 100)

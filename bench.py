@@ -260,8 +260,17 @@ def main() -> None:
     }
     # Pinned re-floor requests (VERDICT r06 item 3): queries whose last
     # artifact carried an uncertified drift get a guaranteed solo floor
-    # this round regardless of the top-5/2x rules.
-    floor_set |= {"text_perplexity"} & set(times)
+    # this round regardless of the top-5/2x rules. r10 pins (VERDICT
+    # r09 item 4 + replans): streaming_heavy_hitters has neither a
+    # driver row nor a certified floor yet, and the three replanned
+    # queries' committed mins describe their RETIRED plans.
+    floor_set |= {
+        "text_perplexity",
+        "streaming_heavy_hitters",
+        "sample_dsir",
+        "dedup_substring_spans_hashed",
+        "multimodal_decode_mixed",
+    } & set(times)
     floor_names = sorted(floor_set, key=lambda n: times[n], reverse=True)[:10]
     measured_floors: dict[str, float] = {}
     for name in floor_names:

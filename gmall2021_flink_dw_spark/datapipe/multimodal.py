@@ -1082,10 +1082,22 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
                     raise ValueError("AC coefficient index overrun")
                 zz[k] = _extend(reader.bits(size), size) * q[k]
                 k += 1
-            coeffs = [0] * 64
-            for i in range(64):
-                coeffs[_ZIGZAG[i]] = zz[i]
-            block = _idct8x8(coeffs)
+            if not any(zz[1:]):
+                # DC-only block: the IDCT is exactly flat at DC/8
+                # (0.125 * DC is an exact power-of-two float scale, so
+                # this closed form is deterministic; the float path
+                # would sum 8 cos products to the same value modulo
+                # sub-epsilon noise). Dominant case in real photos'
+                # smooth regions and ALL of the generated flat-block
+                # corpus — measured 3x on the mixed-lane decode.
+                p8 = int(round(0.125 * zz[0])) + 128
+                p8 = 0 if p8 < 0 else (255 if p8 > 255 else p8)
+                block = [p8] * 64
+            else:
+                coeffs = [0] * 64
+                for i in range(64):
+                    coeffs[_ZIGZAG[i]] = zz[i]
+                block = _idct8x8(coeffs)
             for yy in range(8):
                 py = byi * 8 + yy
                 if py >= height:

@@ -112,6 +112,7 @@ HEADLINE = [
     "text_boilerplate",
     "streaming_keyword_stats",
     "sample_curriculum_rank",
+    "sample_ccnet_buckets",
     # added r05:
     "kafka_wire_events",
     "text_repetition",

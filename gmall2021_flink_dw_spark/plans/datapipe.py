@@ -972,6 +972,58 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lp, n_bigrams) under the self-trained add-one bigram
+    LM — the shared scoring core of text_perplexity and
+    sample_ccnet_buckets (r10). lp is UNROUNDED; consumers apply their
+    own emission contract (round(,6) / epsilon gates)."""
+    # project BEFORE persisting: persist materializes whatever it is
+    # handed, so caching the full row would defeat parquet column
+    # pruning (the scan must read only doc_id + text)
+    docs = tracked_persist(
+        with_tokens(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "__tokens"
+        )
+    )
+    t = F.col("__tokens")
+    bg = docs.filter(F.size(t) >= 2).select(
+        "doc_id", F.explode(bigram_pairs(t)).alias("p")
+    )
+    # per-(doc, bigram) counts feed three consumers (model counts x2 +
+    # scoring join) — persist, same rationale as tfidf's tf table.
+    dtf = tracked_persist(
+        bg.select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bc = dtf.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
+    # cu re-aggregates bc (not dtf): sum over w2 of cb == sum over dtf of
+    # k, same integers, but the input is the model table — and the
+    # leading-word join lands on the MODEL side, so the big per-doc
+    # table is shuffled once (on the bigram), not twice. At 100 TB dtf
+    # is corpus-sized while bc/uc are vocabulary-sized; joining them
+    # first is the difference between one and two corpus shuffles.
+    uc = bc.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    model = bc.join(uc, ["w1"])
+    voc = docs.select(F.explode(t).alias("tk")).agg(
+        F.count_distinct("tk").alias("v")
+    )
+    lp_term = F.log(
+        (F.col("cb") + F.lit(1)).cast("double") / (F.col("cu") + F.col("v"))
+    )
+    return (
+        dtf.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(voc))
+        .withColumn("lpk", F.col("k") * lp_term)
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("lpk") / F.sum("k")).alias("lp"),
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+        )
+    )
+
+
+
 @register(
     "text_perplexity",
     oracle=f"""
@@ -1032,50 +1084,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "text", "quality", "join"),
 )
 def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # project BEFORE persisting: persist materializes whatever it is
-    # handed, so caching the full row would defeat parquet column
-    # pruning (the scan must read only doc_id + text)
-    docs = tracked_persist(
-        with_tokens(load_table(spark, sf_dir, "documents")).select(
-            "doc_id", "__tokens"
-        )
-    )
-    t = F.col("__tokens")
-    bg = docs.filter(F.size(t) >= 2).select(
-        "doc_id", F.explode(bigram_pairs(t)).alias("p")
-    )
-    # per-(doc, bigram) counts feed three consumers (model counts x2 +
-    # scoring join) — persist, same rationale as tfidf's tf table.
-    dtf = tracked_persist(
-        bg.select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .groupBy("doc_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
-    bc = dtf.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
-    # cu re-aggregates bc (not dtf): sum over w2 of cb == sum over dtf of
-    # k, same integers, but the input is the model table — and the
-    # leading-word join lands on the MODEL side, so the big per-doc
-    # table is shuffled once (on the bigram), not twice. At 100 TB dtf
-    # is corpus-sized while bc/uc are vocabulary-sized; joining them
-    # first is the difference between one and two corpus shuffles.
-    uc = bc.groupBy("w1").agg(F.sum("cb").alias("cu"))
-    model = bc.join(uc, ["w1"])
-    voc = docs.select(F.explode(t).alias("tk")).agg(
-        F.count_distinct("tk").alias("v")
-    )
-    lp_term = F.log(
-        (F.col("cb") + F.lit(1)).cast("double") / (F.col("cu") + F.col("v"))
-    )
-    doc_scores = (
-        dtf.join(model, ["w1", "w2"])
-        .crossJoin(F.broadcast(voc))
-        .withColumn("lpk", F.col("k") * lp_term)
-        .groupBy("doc_id")
-        .agg(
-            (F.sum("lpk") / F.sum("k")).alias("lp"),
-            F.sum("k").cast("bigint").alias("n_bigrams"),
-        )
-    )
+    doc_scores = _bigram_doc_scores(spark, sf_dir)
     mu = doc_scores.agg(F.avg("lp").alias("mu"))
     return doc_scores.crossJoin(F.broadcast(mu)).select(
         "doc_id",
@@ -4476,4 +4485,119 @@ def sample_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leak))
         .select("split", "n_docs", "n_groups", "id_sum", "leak_free")
+    )
+
+
+@register(
+    "sample_ccnet_buckets",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS w FROM documents),
+    bg AS (
+      SELECT doc_id, unnest({DUCK_BIGRAMS_SQL}) AS p
+      FROM tok WHERE len(w) >= 2
+    ),
+    dtf AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS k
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    bc AS (SELECT w1, w2, sum(k)::BIGINT AS cb FROM dtf GROUP BY 1, 2),
+    uc AS (SELECT w1, sum(cb)::BIGINT AS cu FROM bc GROUP BY 1),
+    voc AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(w) AS t FROM tok)
+    ),
+    doc AS (
+      SELECT d.doc_id,
+             sum(d.k * ln((bc.cb + 1)::DOUBLE / (uc.cu + voc.v)))
+               / sum(d.k) AS lp,
+             sum(d.k)::BIGINT AS n_bigrams
+      FROM dtf d
+      JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN voc
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT documents.source AS source, doc.doc_id, n_bigrams,
+             row_number() OVER (
+               PARTITION BY documents.source
+               ORDER BY round(lp, 6) DESC, doc.doc_id) AS rnk,
+             count(*) OVER (PARTITION BY documents.source) AS n
+      FROM doc JOIN documents USING (doc_id)
+    )
+    SELECT source, bucket::INT AS bucket, count(*)::BIGINT AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS bigrams,
+           CAST(sum(doc_id) AS BIGINT) AS docid_sum,
+           bucket <= 2 AS kept
+    FROM (SELECT source, doc_id, n_bigrams,
+                 1 + (3 * (rnk - 1)) // n AS bucket
+          FROM ranked)
+    GROUP BY source, bucket
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): "
+    "per SOURCE, rank documents by bigram-LM fluency (higher mean log "
+    "P(w2|w1) = more fluent) and cut into head/middle/tail terciles; "
+    "CCNet keeps head+middle (kept = bucket <= 2) — the language-"
+    "model-quality mixing gate every CommonCrawl-derivative corpus "
+    "applies before training. Reuses _bigram_doc_scores (the "
+    "text_perplexity core: one corpus shuffle, model tables re-"
+    "aggregated vocabulary-sized). Per-source ranks are SCALE-SAFE: "
+    "range exchange on (source, ppl6 desc, doc_id) + per-(source,pid) "
+    "local row_number + broadcast prefix offsets (the "
+    "sample_curriculum_rank pattern) — no per-source single-partition "
+    "window, so a 100 TB source ranks across the cluster. Bucket = "
+    "1 + (3*(rank-1)) DIV n in exact integer arithmetic on both "
+    "engines; emission is all-integer per (source, bucket). Ordering "
+    "uses round(lp,6) with doc_id tiebreak — the text_perplexity "
+    "float contract (residual cross-engine risk ~1e-8/doc: a sub-ulp "
+    "sum-order flip crossing the 1e-6 rounding grid).",
+    tags=("datapipe", "sampling", "quality", "window"),
+)
+def sample_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scores = _bigram_doc_scores(spark, sf_dir).select(
+        "doc_id", F.round("lp", 6).alias("ppl6"), "n_bigrams"
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ranged = tracked_persist(
+        scores.join(src, "doc_id")
+        .repartitionByRange(
+            32, F.asc("source"), F.desc("ppl6"), F.asc("doc_id")
+        )
+        .withColumn("pid", F.spark_partition_id())
+    )
+    counts = ranged.groupBy("source", "pid").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "source",
+        "pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    totals = counts.groupBy("source").agg(F.sum("_n").alias("n"))
+    w_local = Window.partitionBy("pid", "source").orderBy(
+        F.desc("ppl6"), F.asc("doc_id")
+    )
+    ranked = (
+        ranged.withColumn("_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["source", "pid"])
+        .join(F.broadcast(totals), ["source"])
+        .withColumn("rnk", F.col("_off") + F.col("_rn"))
+    )
+    return (
+        ranked.withColumn(
+            "bucket",
+            F.expr("CAST(1 + (3 * (rnk - 1)) DIV n AS INT)"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("bigrams"),
+            F.sum("doc_id").cast("bigint").alias("docid_sum"),
+        )
+        .withColumn("kept", F.col("bucket") <= 2)
     )

@@ -193,9 +193,9 @@ _DRIVER_WINDOW = (
 # These carry local oracle parity but zero driver evidence yet, and
 # MUST be the first (b)-section entries of the NEXT window rebuild.
 # tests/test_catalog.py projects them to round _WINDOW_ROUND + 1 and
-# caps how many may wait. Empty at the r10 rebuild; new r10 queries
-# are appended here as they land.
+# caps how many may wait. New r10 queries appended as they land.
 _PENDING_FIRST_WINDOW: tuple[str, ...] = (
+    "sample_ccnet_buckets",
 )
 
 

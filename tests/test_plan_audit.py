@@ -72,6 +72,8 @@ SCALAR_THRESHOLD_ALLOWED = {
     "dedup_winnow_pairs",
     # vocab-size + corpus-mean 1-row broadcast scalars
     "text_perplexity",
+    # inherits text_perplexity's 1-row vocab-size broadcast scalar
+    "sample_ccnet_buckets",
     "corpus_filter_pipeline",
     # id-span bounds (1-row broadcast) for the two-level offset bucketing
     "kafka_wire_events",

@@ -728,6 +728,20 @@ def remove_duplicate_spans(docs: DataFrame, min_len: int = 50) -> DataFrame:
     return _cut_spans(docs, merged_duplicate_spans(docs, min_len))
 
 
+def remove_duplicate_spans_hashed(
+    docs: DataFrame, min_len: int = 50
+) -> DataFrame:
+    """Scale-path twin of remove_duplicate_spans (r10): spans come from
+    merged_duplicate_spans_hashed — the persist-free single-shuffle
+    xxhash64 plan — so the ACTIONABLE half of ExactSubstr (cutting the
+    duplicated spans out of every doc) inherits the 7.5x-per-decade
+    slope instead of the exact form's string sort-agg wall. Output
+    contract identical to remove_duplicate_spans; the driver oracle is
+    the exact-string SQL recomputation, so a 64-bit key collision
+    (odds n^2/2^65) surfaces as a mismatch rather than hiding."""
+    return _cut_spans(docs, merged_duplicate_spans_hashed(docs, min_len))
+
+
 def _cut_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
     """Cut (doc_id, s, e) spans out of docs.text: lag-window segments
     between consecutive spans, concatenated in span order plus the

@@ -4601,3 +4601,75 @@ def sample_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("kept", F.col("bucket") <= 2)
     )
+
+
+_SUBSTR_CLEAN_ORACLE = """
+    WITH g AS (
+      SELECT doc_id, u.i AS pos, substr(text, u.i + 1, 50) AS gram
+      FROM documents
+      CROSS JOIN LATERAL unnest(range(0, greatest(len(text) - 49, 0)))
+           AS u(i)
+      WHERE len(text) >= 50
+    ), d AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+    ), hits AS (
+      SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 50) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_start
+      FROM hits
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS span_id
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, span_id, min(pos) AS s, max(pos) + 50 AS e
+      FROM grp GROUP BY doc_id, span_id
+    ), seg AS (
+      SELECT doc_id, s, e,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+               AS seg_start
+      FROM spans
+    ), per_doc AS (
+      SELECT seg.doc_id,
+             string_agg(substr(text, seg_start + 1, s - seg_start), ''
+                        ORDER BY s) AS head,
+             max(e) AS max_e,
+             CAST(sum(e - s) AS BIGINT) AS removed_chars
+      FROM seg JOIN documents USING (doc_id)
+      GROUP BY seg.doc_id
+    )
+    SELECT documents.doc_id,
+           CASE WHEN head IS NULL THEN text
+                ELSE coalesce(head, '') || substr(text, max_e + 1)
+           END AS clean_text,
+           coalesce(removed_chars, 0)::BIGINT AS removed_chars
+    FROM documents LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+@register(
+    "dedup_substring_clean_hashed",
+    oracle=_SUBSTR_CLEAN_ORACLE,
+    doc="SCALE-PATH twin of dedup_substring_clean (r10): the span "
+    "table comes from the persist-free single-shuffle xxhash64 plan "
+    "(dedup_substring_spans_hashed's engine), so the ACTIONABLE half "
+    "of ExactSubstr — cutting every duplicated 50-char span out of "
+    "every doc — inherits the 7.5x-per-decade slope instead of the "
+    "exact form's string sort-agg wall (45x at the third decade, "
+    "BASELINE.md). Oracle = the exact-string recomputation, so a "
+    "64-bit collision surfaces as a mismatch. "
+    "datapipe/dedup.py:remove_duplicate_spans_hashed.",
+    tags=("datapipe", "dedup", "window", "approx-scale-path"),
+)
+def dedup_substring_clean_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.dedup import (
+        remove_duplicate_spans_hashed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans_hashed(docs, min_len=50)

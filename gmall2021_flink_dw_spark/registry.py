@@ -196,6 +196,7 @@ _DRIVER_WINDOW = (
 # caps how many may wait. New r10 queries appended as they land.
 _PENDING_FIRST_WINDOW: tuple[str, ...] = (
     "sample_ccnet_buckets",
+    "dedup_substring_clean_hashed",
 )
 
 

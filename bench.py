@@ -146,6 +146,7 @@ HEADLINE = [
     "dedup_substring_spans_hashed",
     "dedup_substring_clean_keepfirst",
     "dedup_substring_clean_hashed",
+    "dedup_substring_keepfirst_hashed",
     "source_jsonl_events",
     "source_orc_events",
     "source_csv_docs",

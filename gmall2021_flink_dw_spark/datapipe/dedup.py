@@ -629,12 +629,14 @@ def remove_duplicate_spans_keepfirst(
     keeps ONE readable copy (the remove-all form would empty them
     all) — the right contract for dedup, while remove-all remains the
     right one for contamination scrubbing."""
-    grams = tracked_persist(
-        _gram_stream(docs, min_len).select(
-            "doc_id",
-            "pos",
-            F.col("text").substr(F.col("pos") + 1, F.lit(min_len)).alias("gram"),
-        )
+    # no persist: the gram stream has exactly ONE consumer (the ranked
+    # window below), so materializing it would be pure cost (the r10
+    # substring-hashed lesson — the persist was that plan's measured
+    # third-decade bound)
+    grams = _gram_stream(docs, min_len).select(
+        "doc_id",
+        "pos",
+        F.col("text").substr(F.col("pos") + 1, F.lit(min_len)).alias("gram"),
     )
     w_first = Window.partitionBy("gram").orderBy("doc_id", "pos")
     ranked = grams.select(
@@ -643,6 +645,39 @@ def remove_duplicate_spans_keepfirst(
     )
     hits = ranked.where((F.col("c") > 1) & (F.col("rn") > 1)).select(
         "doc_id", "pos"
+    )
+    spans = _merge_hit_positions(hits, min_len)
+    return _cut_spans(docs, spans)
+
+
+def remove_duplicate_spans_keepfirst_hashed(
+    docs: DataFrame, min_len: int = 50
+) -> DataFrame:
+    """Scale-path twin of remove_duplicate_spans_keepfirst (r10): the
+    per-gram first-occurrence election runs over xxhash64 keys in ONE
+    shuffle — row_number() and count() share the same (k)-partitioned
+    sort, ordering by the packed dp = doc_id << 32 | pos (identical
+    total order to (doc_id, pos) since both fit 31 bits), so no gram
+    string is ever shuffled and nothing is persisted. Collision
+    contract as merged_duplicate_spans_hashed; the driver oracle is the
+    exact-string recomputation."""
+    grams = _gram_stream(docs, min_len).select(
+        F.shiftleft(F.col("doc_id").cast("long"), 32)
+        .bitwiseOR(F.col("pos").cast("long"))
+        .alias("dp"),
+        F.xxhash64(
+            F.col("text").substr(F.col("pos") + 1, F.lit(min_len))
+        ).alias("k"),
+    )
+    w_first = Window.partitionBy("k").orderBy("dp")
+    ranked = grams.select(
+        "dp",
+        F.row_number().over(w_first).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("k")).alias("c"),
+    )
+    hits = ranked.where((F.col("c") > 1) & (F.col("rn") > 1)).select(
+        F.shiftright(F.col("dp"), 32).alias("doc_id"),
+        F.col("dp").bitwiseAND(F.lit(4294967295)).cast("int").alias("pos"),
     )
     spans = _merge_hit_positions(hits, min_len)
     return _cut_spans(docs, spans)

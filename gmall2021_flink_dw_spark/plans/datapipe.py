@@ -4673,3 +4673,78 @@ def dedup_substring_clean_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return remove_duplicate_spans_hashed(docs, min_len=50)
+
+
+@register(
+    "dedup_substring_keepfirst_hashed",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, u.i AS pos, substr(text, u.i + 1, 50) AS gram
+      FROM documents
+      CROSS JOIN LATERAL unnest(range(0, greatest(len(text) - 49, 0)))
+           AS u(i)
+      WHERE len(text) >= 50
+    ), r AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos)
+               AS rn,
+             count(*) OVER (PARTITION BY gram) AS c
+      FROM g
+    ), hits AS (
+      SELECT doc_id, pos FROM r WHERE c > 1 AND rn > 1
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 50) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_start
+      FROM hits
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS span_id
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, span_id, min(pos) AS s, max(pos) + 50 AS e
+      FROM grp GROUP BY doc_id, span_id
+    ), seg AS (
+      SELECT doc_id, s, e,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+               AS seg_start
+      FROM spans
+    ), per_doc AS (
+      SELECT seg.doc_id,
+             string_agg(substr(text, seg_start + 1, s - seg_start), ''
+                        ORDER BY s) AS head,
+             max(e) AS max_e,
+             CAST(sum(e - s) AS BIGINT) AS removed_chars
+      FROM seg JOIN documents USING (doc_id)
+      GROUP BY seg.doc_id
+    )
+    SELECT documents.doc_id,
+           CASE WHEN head IS NULL THEN text
+                ELSE coalesce(head, '') || substr(text, max_e + 1)
+           END AS clean_text,
+           coalesce(removed_chars, 0)::BIGINT AS removed_chars
+    FROM documents LEFT JOIN per_doc USING (doc_id)
+    """,
+    doc="SCALE-PATH twin of dedup_substring_clean_keepfirst (r10): the "
+    "per-gram first-occurrence election (keep the globally first "
+    "(doc_id,pos), cut the rest — Lee et al.'s actual ExactSubstr "
+    "contract) runs over xxhash64 keys in ONE shuffle: row_number() "
+    "and count() share the (k)-partitioned sort, ordered by the "
+    "packed dp = doc_id << 32 | pos (the same total order), no gram "
+    "string shuffled, nothing persisted. Oracle = exact-string "
+    "recomputation, so 64-bit collisions surface as mismatches. "
+    "datapipe/dedup.py:remove_duplicate_spans_keepfirst_hashed.",
+    tags=("datapipe", "dedup", "window", "approx-scale-path"),
+)
+def dedup_substring_keepfirst_hashed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.dedup import (
+        remove_duplicate_spans_keepfirst_hashed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans_keepfirst_hashed(docs, min_len=50)

@@ -197,6 +197,7 @@ _DRIVER_WINDOW = (
 _PENDING_FIRST_WINDOW: tuple[str, ...] = (
     "sample_ccnet_buckets",
     "dedup_substring_clean_hashed",
+    "dedup_substring_keepfirst_hashed",
 )
 
 

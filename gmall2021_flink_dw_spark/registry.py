@@ -101,104 +101,95 @@ def register(
 # commit (VERDICT r04 item 1: the handover state must be green; the
 # forcing function moves to the start-of-round bump, asserted by
 # test_window_round_is_bumped).
-_WINDOW_ROUND = 10
+_WINDOW_ROUND = 11
 
-# r10 window (VERDICT r09 item 1): executes the rebuild pre-committed
-# at the end of r09. The census entered r10 at 153 registered queries
-# (> the 150 = 3x50 ceiling), so the staleness bound derived by
-# tests/test_catalog.py is ceil(153/50) - 1 = 3 successful driver
-# rounds. Effective round sequence entering r10: [r1..r7, r9] (r08
-# crashed, zero evidence, consumed no rotation capacity).
+# r11 window (VERDICT r10 item 1): executes the rebuild pre-committed
+# at the end of r10. Census entering r11: 156 registered queries, so
+# the staleness bound derived by tests/test_catalog.py stays at
+# ceil(156/50) - 1 = 3 successful driver rounds. Effective round
+# sequence entering r11: [r1..r7, r9, r10] (r08 crashed, zero
+# evidence, consumed no rotation capacity).
 #
-# Layout: (a) the five _PENDING_FIRST_WINDOW names from r09 — the only
-# registered queries with ZERO driver evidence — go first; (b) the
-# remaining 45 slots fill from the 48-name r06 cohort (newest driver
-# row r06, effective staleness 2 entering r10) in the pre-committed
-# order from the r09 comment; the 3 spilled names (lang_id,
-# dedup_exact, dedup_ngram_jaccard) sit at effective staleness 3 —
-# exactly the bound, still legal — and MUST lead the r11 rebuild
-# together with the r07 cohort (50 names, newest=r07). New r10
-# queries park in _PENDING_FIRST_WINDOW rather than displacing cohort
-# fill (displacement would push a staleness-2 name past the bound).
-# EXCEPTION (r10 mid-round): three queries were REPLANNED this round —
-# dedup_substring_spans_hashed (persist removed, single-shuffle window
-# form), sample_dsir (dictionary-encoding kernel), and
-# multimodal_decode_mixed (JPEG lane added; its ORACLE changed too, so
-# the r9 row no longer describes the committed pair). Changed plans
-# must re-verify before anything merely stale (the r02 rotation rule),
-# and _PENDING_FIRST_WINDOW only admits zero-evidence names, so they
-# swap INTO the window displacing the three newest-registered cohort
-# fills (multimodal_decode, ann_topk, text_stats), which join the r11
-# lead list at effective staleness 3 alongside the three spilled names.
+# Layout: (a) the three _PENDING_FIRST_WINDOW names from r10 — the
+# only registered queries with ZERO driver evidence — go first;
+# (b) the six names whose newest driver row is r06 (effective
+# staleness 3 entering r11 — AT the bound; three spilled from the r10
+# rebuild, three displaced by r10's replanned-query exception);
+# (c) the remaining 41 slots fill from the 50-name r07 cohort in
+# registration order. The 9 spilled r07 names — dws_province_stats,
+# dws_order_quantiles_approx, dws_promo_window_stats,
+# dws_event_measures, dwd_clean_events, dwd_event_split_counts,
+# dwm_unique_visit, dwd_new_user_flag, dws_sales_cube — sit at
+# effective staleness 3 after r11 (exactly the bound, still legal)
+# and MUST lead the r12 rebuild. NOTE (r11 mid-round): the bigram-LM
+# core shared by text_perplexity and sample_ccnet_buckets is being
+# replanned this round (VERDICT r10 item 2); both names are already
+# inside this window ((a) and (c) sections), so the changed plans
+# re-verify without a displacement exception.
 _DRIVER_WINDOW = (
-    # (a) zero driver evidence — pre-committed in r09's
+    # (a) zero driver evidence — pre-committed in r10's
     # _PENDING_FIRST_WINDOW; front-loaded verbatim
-    "embedding_pca_power",
-    "sample_leakage_free_split",
-    "dws_funnel_conversion",
-    "dws_retention_cohorts",
-    "streaming_heavy_hitters",
-    # (b) the r06 cohort, oldest-first in the pre-committed order;
-    # first 45 of 48 (lang_id / dedup_exact / dedup_ngram_jaccard
-    # spill to r11 at staleness 3)
-    "corpus_summary",
-    "corpus_train_pipeline",
-    "sample_mix_allocator",
-    "dedup_paragraphs",
-    "dws_keyword_stats_zh",
-    "cdc_asof_enrich",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q4_semi",
-    "tpch_q16_anti",
-    "tpch_q12_caseagg",
-    "tpch_q14_promo",
-    "tpch_q18_bigorders",
-    "tpch_q19_disjunct",
-    "ads_top_parts_per_brand",
-    "dws_sales_rollup",
-    "ads_order_quantiles",
-    "tpch_q2_mincost",
-    "tpch_q8_marketshare",
-    "tpch_q9_profit",
-    "tpch_q11_importance",
-    "tpch_q13_custdist",
-    "tpch_q17_smallqty",
-    "tpch_q21_waiting",
-    "tpch_q22_inactive",
-    "tpch_q20_excess",
-    "sample_training_mix",
-    "text_token_counts",
-    "multimodal_resize",
-    "dedup_survivors_by_quality",
-    "tfidf_top_terms",
-    "pack_sequences",
-    "dedup_clusters",
-    "corpus_contamination",
-    "corpus_clean",
-    "sample_stratified",
-    "vocab_top_tokens",
-    "doc_winnow_fingerprint",
-    "multimodal_frame_sample",
-    "text_redact",
-    "text_quality",
-    "dedup_embedding_cosine",
-    # (replanned this round — must re-verify; see EXCEPTION note)
-    "dedup_substring_spans_hashed",
-    "sample_dsir",
-    "multimodal_decode_mixed",
+    "sample_ccnet_buckets",
+    "dedup_substring_clean_hashed",
+    "dedup_substring_keepfirst_hashed",
+    # (b) newest driver row r06 — at the staleness bound of 3
+    "text_stats",
+    "lang_id",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "ann_topk",
+    "multimodal_decode",
+    # (c) the r07 cohort, registration order; first 41 of 50 (the 9
+    # names listed in the header comment spill to r12 at staleness 3)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bucketed",
+    "multimodal_decode_real",
+    "quality_classifier",
+    "text_perplexity",
+    "dedup_winnow_pairs",
+    "ann_ivf",
+    "ann_pq",
+    "sample_hash_bucket",
+    "dedup_embedding_lsh",
+    "dedup_semantic",
+    "multimodal_embed",
+    "text_boilerplate",
+    "sample_curriculum_rank",
+    "text_repetition",
+    "streaming_dedup_ingest",
+    "corpus_length_histogram",
+    "corpus_ngram_novelty",
+    "corpus_filter_pipeline",
+    "tokenizer_train_bpe",
+    "tokenizer_apply_bpe",
+    "tokenizer_tokenize_docs",
+    "cdc_changelog",
+    "cdc_route",
+    "cdc_route_projected",
+    "cdc_snapshot_at",
+    "cdc_dim_snapshot",
+    "cdc_scd2",
+    "streaming_cdc_upsert",
+    "streaming_visitor_stats",
+    "streaming_exact_distinct",
+    "streaming_new_user_flag",
+    "streaming_interval_join",
+    "streaming_uv_dedup",
+    "streaming_jump_detect",
+    "streaming_session_window",
+    "streaming_keyword_stats",
+    "dws_keyword_stats",
+    "dws_visitor_stats",
+    "dws_product_stats",
 )
 
 # Queries registered AFTER the upcoming round's 50-slot window filled.
 # These carry local oracle parity but zero driver evidence yet, and
 # MUST be the first (b)-section entries of the NEXT window rebuild.
 # tests/test_catalog.py projects them to round _WINDOW_ROUND + 1 and
-# caps how many may wait. New r10 queries appended as they land.
-_PENDING_FIRST_WINDOW: tuple[str, ...] = (
-    "sample_ccnet_buckets",
-    "dedup_substring_clean_hashed",
-    "dedup_substring_keepfirst_hashed",
-)
+# caps how many may wait. New r11 queries appended as they land.
+_PENDING_FIRST_WINDOW: tuple[str, ...] = ()
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -695,9 +695,24 @@ def _gram_stream(docs: DataFrame, min_len: int) -> DataFrame:
     lets AQE coalesce the tiny pre-explode shuffle right back to one
     partition, which is exactly the skew being fixed."""
     n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # dp-pack guard (ADVICE r10): the hashed downstream forms pack
+    # (doc_id, pos) as doc_id << 32 | pos, which silently sign-flips
+    # into the long's sign bit once doc_id reaches 2^31, corrupting
+    # the keep-first election and the shiftright unpack. One compare
+    # per DOC row (pre-explode, so ~min_len x cheaper than guarding
+    # the gram stream) makes a generator change fail loudly. Folded
+    # into the doc_id projection via when(assert.isNull(), ...) so
+    # column pruning cannot eliminate the assert.
+    guarded_doc_id = F.when(
+        F.assert_true(
+            (F.col("doc_id") >= 0) & (F.col("doc_id") < F.lit(1 << 31)),
+            F.lit("doc_id outside [0, 2^31): dp-pack would sign-flip"),
+        ).isNull(),
+        F.col("doc_id"),
+    ).alias("doc_id")
     return (
         docs.where(F.length("text") >= min_len)
-        .select("doc_id", "text")
+        .select(guarded_doc_id, "text")
         .repartition(n_part, "doc_id")
         .select(
             "doc_id",

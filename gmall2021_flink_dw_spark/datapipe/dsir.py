@@ -25,11 +25,17 @@ rules): int(md5(utf8)[:8 hex], 16) % B == Spark conv(substring(
 md5(tk),1,8),16,10) % B == DuckDB ('0x'||substr(md5(tk),1,8))::BIGINT
 % B.
 
-Scoring keeps the ORACLE's float shape: per-(doc, bucket) integer
-counts k_b (bincount), then logw = sum_b k_b * w_b as one
-counts-matrix GEMV over the 512-double weight vector — multiplication
-by integer k before summation, bucket-ascending order, the same
-association the SQL oracle's `sum(k * (ln - ln))` produces.
+Scoring keeps the ORACLE's float shape as closely as numpy allows:
+per-(doc, bucket) integer counts k_b (bincount), then
+logw = sum_b k_b * w_b as one counts-matrix GEMV over the
+512-double weight vector — multiplication by integer k before
+summation, as in the SQL oracle's `sum(k * (ln - ln))`. The GEMV
+dispatches to BLAS, whose accumulation order (blocked/SIMD,
+possibly FMA) is NOT guaranteed left-to-right, so the association
+can differ from both engines' ordered sums at the sub-ulp level;
+cross-engine parity therefore rests on the round(,6) emission grid
+(residual risk: a sub-ulp flip landing exactly on the 1e-6 grid —
+the same documented contract as sample_ccnet_buckets).
 """
 
 from __future__ import annotations

@@ -989,10 +989,23 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("truncated JPEG marker stream")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+        # a marker code; skip them instead of misreading 0xFF as the
+        # marker byte of a length-prefixed segment.
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(payload):
+                raise ValueError("truncated JPEG marker stream")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:
             raise ValueError("JPEG contains no scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (no length word); treating
+            # them as length-prefixed would skip arbitrary bytes.
+            raise ValueError(
+                "standalone marker in header (TEM/RSTn) unsupported"
+            )
         (seglen,) = struct.unpack_from(">H", payload, pos)
         if pos + seglen > len(payload):
             raise ValueError("truncated JPEG segment")

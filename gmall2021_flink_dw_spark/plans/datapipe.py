@@ -4561,7 +4561,7 @@ def sample_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = tracked_persist(
         scores.join(src, "doc_id")
         .repartitionByRange(
-            32, F.asc("source"), F.desc("ppl6"), F.asc("doc_id")
+            F.asc("source"), F.desc("ppl6"), F.asc("doc_id")
         )
         .withColumn("pid", F.spark_partition_id())
     )

@@ -1131,3 +1131,24 @@ def test_dsir_kernel_empty_batch():
     assert d.size == 0 and b.size == 0
     d, b = _batch_feature_buckets([[], []], 512)
     assert d.size == 0 and b.size == 0
+
+
+def test_substring_dp_pack_guard_rejects_wide_doc_id(spark):
+    """The hashed forms pack (doc_id, pos) as doc_id << 32 | pos; a
+    doc_id at or past 2^31 would sign-flip the packed long and corrupt
+    the keep-first election (ADVICE r10). The guard must fail LOUDLY
+    instead, and leave in-range corpora untouched."""
+    from gmall2021_flink_dw_spark.datapipe.dedup import (
+        merged_duplicate_spans_hashed,
+    )
+
+    A = "ABCDEFGHIJ" * 2
+    ok = spark.createDataFrame(
+        [(1, A + A), ((1 << 31) - 1, A + A)], ["doc_id", "text"]
+    )
+    got = merged_duplicate_spans_hashed(ok, min_len=10).collect()
+    assert len(got) > 0  # in-range ids pass through the guard
+
+    bad = spark.createDataFrame([(1 << 31, A + A)], ["doc_id", "text"])
+    with pytest.raises(Exception, match="doc_id outside"):
+        merged_duplicate_spans_hashed(bad, min_len=10).collect()

@@ -2,8 +2,7 @@
 
 The grading driver does NOT use this repo's session factory or cwd: it
 builds its own SparkSession and imports __spark_entry__ from wherever it
-runs. Two real regression classes only reproduce under those conditions
-(see .claude/skills/verify/SKILL.md):
+runs. Two real regression classes only reproduce under those conditions:
 
 - loader conf self-healing (nanos-ts / NTZ / UTC) missing on a session
   the factory never touched;

@@ -371,3 +371,21 @@ def test_gif_oversized_code_width_clamp():
     data = bytes([0b00111100])
     with pytest.raises(ValueError):
         _lzw_decode(data, 2, 100)
+
+
+def test_jpeg_header_fill_bytes_and_standalone_markers():
+    """ITU T.81 B.1.1.2: 0xFF fill bytes may pad the space before any
+    marker code; the header walk must skip them rather than parse 0xFF
+    as a length-prefixed marker. Standalone markers (TEM 0x01,
+    RST0-7) carry no length word and must be rejected explicitly, not
+    misparsed as segments (ADVICE r10)."""
+    good = encode_jpeg_gray_blocks(16, 8, [5, 250])
+    sof = good.find(b"\xff\xc0")
+    # fill bytes before SOF0: still decodes, pixel-identical
+    filled = good[:sof] + b"\xff\xff\xff" + good[sof:]
+    assert decode_jpeg_gray(filled) == decode_jpeg_gray(good)
+    # standalone TEM / RST4 in the header walk: explicit reject
+    for mk in (0x01, 0xD4):
+        bad = good[:sof] + bytes([0xFF, mk]) + good[sof:]
+        with pytest.raises(ValueError, match="standalone"):
+            decode_jpeg_gray(bad)

@@ -975,8 +975,36 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lp, n_bigrams) under the self-trained add-one bigram
     LM — the shared scoring core of text_perplexity and
-    sample_ccnet_buckets (r10). lp is UNROUNDED; consumers apply their
-    own emission contract (round(,6) / epsilon gates)."""
+    sample_ccnet_buckets. lp is UNROUNDED; consumers apply their own
+    emission contract (round(,6) / epsilon gates).
+
+    r11 (VERDICT r10 item 2): replanned onto the dictionary-encoding
+    Arrow kernel pair in datapipe/bigram_lm.py — fit emits per-batch
+    DISTINCT (w1, w2, k) partials (one vocabulary-sized shuffle, no
+    corpus shuffle), the model broadcasts to a scoring kernel that
+    emits one row per doc (no shuffle at all). The r07-r10 JVM
+    explode+join form (three corpus-scale exchanges) is kept below as
+    _bigram_doc_scores_jvm for the measured decade comparison
+    (BASELINE.md r11)."""
+    from gmall2021_flink_dw_spark.datapipe.bigram_lm import (
+        bigram_lm_scores,
+        fit_bigram_model,
+    )
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "__tokens"
+    )
+    ensure_workers_can_import(spark)
+    model = fit_bigram_model(docs)
+    bcast = spark.sparkContext.broadcast(model)
+    return bigram_lm_scores(docs, bcast)
+
+
+def _bigram_doc_scores_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r11 JVM form of _bigram_doc_scores (explode + three
+    corpus-scale exchanges), retained unregistered for decade
+    measurements and as the fallback if the kernel ever loses (the
+    rolling-hash precedent, BASELINE.md r10)."""
     # project BEFORE persisting: persist materializes whatever it is
     # handed, so caching the full row would defeat parquet column
     # pruning (the scan must read only doc_id + text)

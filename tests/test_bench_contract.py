@@ -84,3 +84,32 @@ def test_split_floors_equal_and_missing() -> None:
     )
     assert floors == {"q": 2.0}
     assert unavailable == {"ghost": 1.0}
+
+
+def test_quadratic_anchor_gate_arithmetic() -> None:
+    """Pins the size-gate arithmetic for the quadratic-by-role exact
+    anchors (VERDICT r10 item 4): at the cap sf the cosine anchor's
+    all-pairs GEMM is under the ceiling; one decade up it is past it
+    and growing 100x per decade — which is exactly why ANCHOR_SF_CAP
+    sits at the committed suite sf and must not rise silently."""
+    macs_at_cap = bench.N_EMB_AT_CAP**2 * bench.EMB_DIM
+    assert macs_at_cap < bench.ANCHOR_MAC_CEILING
+    n_next_decade = bench.N_EMB_AT_CAP * 10
+    assert n_next_decade**2 * bench.EMB_DIM > bench.ANCHOR_MAC_CEILING
+    assert bench.ANCHOR_SF_CAP == 0.1  # the committed suite sf
+
+
+def test_quadratic_anchor_gate_names_are_registered_exact_forms() -> None:
+    """Every gated name exists in the registry and is an exact form
+    (not one of the hashed/LSH scale paths, which must keep riding
+    the suite at every sf)."""
+    from gmall2021_flink_dw_spark.registry import load_all
+
+    reg = load_all()
+    for n in bench.QUADRATIC_ANCHORS:
+        assert n in reg, n
+        assert "hashed" not in n and "lsh" not in n
+    # the scale paths stay unconditionally in HEADLINE
+    for scale_path in ("dedup_substring_spans_hashed", "dedup_embedding_lsh"):
+        assert scale_path in bench.HEADLINE
+        assert scale_path not in bench.QUADRATIC_ANCHORS

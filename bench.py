@@ -167,6 +167,8 @@ HEADLINE = [
     "dws_funnel_conversion",
     "dws_retention_cohorts",
     "streaming_heavy_hitters",
+    # added r11:
+    "multimodal_decode_jpeg_ac",
 ]
 
 

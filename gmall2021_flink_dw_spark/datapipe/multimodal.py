@@ -884,6 +884,93 @@ def encode_jpeg_gray_blocks(
     )
 
 
+# AC-exercising table (r11, VERDICT r10 item 5): adds ZRL (0xF0) and
+# run/size symbols 0x61-0x63 (run 6, sizes 1-3) so a coefficient can
+# land at zigzag position 39 = natural (u,v) = (4,4). Five symbols at
+# length 3 (7 available — the all-ones code stays unused, C.2).
+_JPEG_AC_SPEC_AC44 = (
+    (0, 0, 5) + (0,) * 13,
+    (0x00, 0xF0, 0x61, 0x62, 0x63),
+)
+
+
+def encode_jpeg_gray_blocks_ac(
+    width: int,
+    height: int,
+    block_values: list[int],
+    ac44_values: list[int],
+) -> bytes:
+    """REAL baseline JPEG whose block b carries BOTH a flat base
+    (block_values[b], DC path) and one nonzero AC coefficient:
+    quantized AC(4,4) = ac44_values[b] in [-7, 7], written at zigzag
+    position 39 as ZRL + ZRL + (run 6, size s) + value bits.
+
+    Why (4,4) reconstructs exactly: its basis is cos((2x+1)pi/4) *
+    cos((2y+1)pi/4) = (+-sqrt(2)/2)(+-sqrt(2)/2) = +-1/2 at every
+    sample, so with C(4) = 1 the IDCT contribution is F/8 * s(x)s(y)
+    with s = (+,-,-,+,+,-,-,+); F = 16 * qA (AC qstep 16) makes the
+    contribution the INTEGER 2 * qA * s(x)s(y), and round() of an
+    integer +- float epsilon is exact — the same provably-lossless
+    contract as the flat-block lane, now exercising the full Huffman
+    run/size -> dezigzag -> IDCT path instead of the DC-only branch.
+    Callers keep base in [16, 239] so base +- 14 never clamps."""
+    if width % 8 or height % 8:
+        raise ValueError("patterned JPEG lane uses multiple-of-8 dims")
+    bx, by = width // 8, height // 8
+    if len(block_values) != bx * by or len(ac44_values) != bx * by:
+        raise ValueError("block value arrays do not match dimensions")
+    dc_codes = _huff_codes(*_JPEG_DC_SPEC)
+    ac_codes = _huff_codes(*_JPEG_AC_SPEC_AC44)
+    w = _BitWriter()
+    prev = 0
+    for v, qa in zip(block_values, ac44_values):
+        if not 0 <= v <= 255:
+            raise ValueError("gray value out of range")
+        if not -7 <= qa <= 7:
+            raise ValueError("quantized AC(4,4) out of [-7, 7]")
+        s = v - 128
+        diff = s - prev
+        prev = s
+        cat = abs(diff).bit_length()
+        if cat > 8:
+            raise ValueError("DC category out of table range")
+        code, length = dc_codes[cat]
+        w.put(code, length)
+        if cat:
+            bits = diff if diff > 0 else diff + (1 << cat) - 1
+            w.put(bits, cat)
+        if qa:
+            # 38 zero ACs before zigzag index 39: ZRL x2 + run 6
+            code, length = ac_codes[0xF0]
+            w.put(code, length)
+            w.put(code, length)
+            size = abs(qa).bit_length()
+            code, length = ac_codes[0x60 | size]
+            w.put(code, length)
+            bits = qa if qa > 0 else qa + (1 << size) - 1
+            w.put(bits, size)
+        code, length = ac_codes[0x00]  # EOB
+        w.put(code, length)
+    entropy = w.flush()
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(_JPEG_QTABLE)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, height, width, 1)
+        + bytes((1, 0x11, 0))
+    )
+    sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes((1, 0x00, 0, 63, 0))
+    return (
+        b"\xff\xd8"
+        + dqt
+        + sof0
+        + _dht_segment(0, 0, _JPEG_DC_SPEC)
+        + _dht_segment(1, 0, _JPEG_AC_SPEC_AC44)
+        + sos
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with FF00
     unstuffing; raises on markers (no restart support — the generated
@@ -1402,3 +1489,91 @@ def attach_patterned_bmp(docs: DataFrame) -> DataFrame:
 
 def extract_image_stats(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(image_stats_batch, IMAGE_STATS_SCHEMA)
+
+
+# ------------------------------ JPEG AC-exercising lane (r11, item 5)
+
+JPEG_AC_SCHEMA = (
+    "doc_id long, width int, height int, "
+    "pixel_sum long, pixel_sq_sum long, ac44_sum long"
+)
+
+# sign of cos((2x+1)pi/4) for x = 0..7 — the AC(4,4) basis pattern
+_S44 = (1, -1, -1, 1, 1, -1, -1, 1)
+
+
+def attach_jpeg_ac_payload(docs: DataFrame) -> DataFrame:
+    """Ingest stage for the AC-exercising JPEG corpus: every doc
+    becomes a real baseline grayscale JPEG whose block b carries a
+    flat base 16 + (doc_id*7 + b*13) % 224 AND a quantized AC(4,4)
+    coefficient ((doc_id + 5b) % 15) - 7 — so MOST blocks take the
+    decoder's full Huffman run/size -> dezigzag -> IDCT path (only
+    qA = 0 blocks hit the DC-only fast path). All parameters derive
+    from doc_id alone; see encode_jpeg_gray_blocks_ac for the
+    exactness proof that keeps the oracle closed-form."""
+    src = docs.select("doc_id")
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bx, by = d % 3 + 1, d % 5 + 1
+                n = bx * by
+                base = [16 + (d * 7 + b * 13) % 224 for b in range(n)]
+                qa = [((d + 5 * b) % 15) - 7 for b in range(n)]
+                payloads.append(
+                    encode_jpeg_gray_blocks_ac(8 * bx, 8 * by, base, qa)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return src.mapInPandas(encode_batch, "doc_id long, payload binary")
+
+
+def jpeg_ac_features_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode each payload with the REAL decoder and reduce the pixel
+    array to three integer-exact features chosen to pin distinct
+    failure modes: pixel_sum (DC path — the AC pattern cancels in the
+    plain sum), pixel_sq_sum (AC magnitude — Parseval makes it
+    sensitive to |qA| but not its position), and ac44_sum (the DCT
+    projection onto the (4,4) basis = 128 * sum qA — zero under any
+    wrong-position or wrong-sign decode)."""
+    import numpy as np
+
+    s = np.array(_S44, dtype=np.int64)
+    for pdf in batches:
+        out = {
+            "doc_id": [], "width": [], "height": [],
+            "pixel_sum": [], "pixel_sq_sum": [], "ac44_sum": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = decode_jpeg_gray(bytes(payload))
+            p = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+            p = p.reshape(h, w)
+            proj = np.outer(s[np.arange(h) % 8], s[np.arange(w) % 8])
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["pixel_sum"].append(int(p.sum()))
+            out["pixel_sq_sum"].append(int((p * p).sum()))
+            out["ac44_sum"].append(int((p * proj).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "pixel_sum": pd.Series(out["pixel_sum"], dtype="int64"),
+                "pixel_sq_sum": pd.Series(
+                    out["pixel_sq_sum"], dtype="int64"
+                ),
+                "ac44_sum": pd.Series(out["ac44_sum"], dtype="int64"),
+            }
+        )
+
+
+def jpeg_ac_features(with_payload: DataFrame) -> DataFrame:
+    return with_payload.mapInPandas(jpeg_ac_features_batch, JPEG_AC_SCHEMA)

@@ -528,6 +528,57 @@ def multimodal_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg_ac",
+    oracle="""
+    SELECT doc_id,
+      (8 * (doc_id % 3 + 1))::INT AS width,
+      (8 * (doc_id % 5 + 1))::INT AS height,
+      CAST(list_sum(list_transform(
+          range(0, (doc_id % 3 + 1) * (doc_id % 5 + 1)),
+          b -> 64 * (16 + (doc_id * 7 + b * 13) % 224))) AS BIGINT)
+        AS pixel_sum,
+      CAST(list_sum(list_transform(
+          range(0, (doc_id % 3 + 1) * (doc_id % 5 + 1)),
+          b -> 64 * ((16 + (doc_id * 7 + b * 13) % 224)
+                     * (16 + (doc_id * 7 + b * 13) % 224)
+                     + 4 * ((doc_id + 5 * b) % 15 - 7)
+                         * ((doc_id + 5 * b) % 15 - 7)))) AS BIGINT)
+        AS pixel_sq_sum,
+      CAST(list_sum(list_transform(
+          range(0, (doc_id % 3 + 1) * (doc_id % 5 + 1)),
+          b -> 128 * ((doc_id + 5 * b) % 15 - 7))) AS BIGINT)
+        AS ac44_sum
+    FROM documents
+    """,
+    doc="AC-EXERCISING JPEG decode lane (VERDICT r10 item 5): the r10 "
+    "flat-block corpus only ever drove the decoder's DC fast path; "
+    "this twin generates real baseline JPEGs whose every block also "
+    "carries a quantized AC(4,4) coefficient, so the driver hash now "
+    "covers the full Huffman run/size (ZRL x2 + run-6) -> dezigzag -> "
+    "float-IDCT path. The (4,4) basis is +-1/2 at every sample, so "
+    "with AC qstep 16 the contribution is the exact integer "
+    "2*qA*s(x)s(y) — lossless by construction, keeping the oracle "
+    "closed-form. Three features pin distinct failure modes: "
+    "pixel_sum (DC — the AC pattern cancels), pixel_sq_sum (AC "
+    "magnitude via Parseval), ac44_sum (the (4,4) projection = "
+    "128*sum(qA) — zero under wrong-position or wrong-sign decode). "
+    "100 TB shape: embarrassingly parallel mapInPandas, no shuffle. "
+    "datapipe/multimodal.py:encode_jpeg_gray_blocks_ac/"
+    "jpeg_ac_features_batch.",
+    tags=("datapipe", "multimodal", "udf", "codec"),
+)
+def multimodal_decode_jpeg_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.multimodal import (
+        attach_jpeg_ac_payload,
+        jpeg_ac_features,
+    )
+
+    ensure_workers_can_import(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_ac_features(attach_jpeg_ac_payload(docs))
+
+
+@register(
     "multimodal_audio_features",
     oracle="""
     WITH w AS (

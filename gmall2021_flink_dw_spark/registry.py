@@ -189,7 +189,9 @@ _DRIVER_WINDOW = (
 # MUST be the first (b)-section entries of the NEXT window rebuild.
 # tests/test_catalog.py projects them to round _WINDOW_ROUND + 1 and
 # caps how many may wait. New r11 queries appended as they land.
-_PENDING_FIRST_WINDOW: tuple[str, ...] = ()
+_PENDING_FIRST_WINDOW: tuple[str, ...] = (
+    "multimodal_decode_jpeg_ac",
+)
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -389,3 +389,123 @@ def test_jpeg_header_fill_bytes_and_standalone_markers():
         bad = good[:sof] + bytes([0xFF, mk]) + good[sof:]
         with pytest.raises(ValueError, match="standalone"):
             decode_jpeg_gray(bad)
+
+
+def test_jpeg_ac44_roundtrip_closed_forms():
+    """The AC-exercising corpus (encode_jpeg_gray_blocks_ac) decodes
+    to the exact closed forms its oracle recomputes: plain sum (AC
+    cancels), sum of squares (64*(v^2 + 4*qA^2) per block), and the
+    (4,4) projection (128*qA per block)."""
+    import numpy as np
+
+    from gmall2021_flink_dw_spark.datapipe.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray_blocks_ac,
+    )
+
+    s = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+    for doc_id in (0, 1, 17, 101, 239, 499):
+        bx, by = doc_id % 3 + 1, doc_id % 5 + 1
+        w, h = 8 * bx, 8 * by
+        base = [16 + (doc_id * 7 + b * 13) % 224 for b in range(bx * by)]
+        qa = [((doc_id + 5 * b) % 15) - 7 for b in range(bx * by)]
+        dw, dh, px = decode_jpeg_gray(
+            encode_jpeg_gray_blocks_ac(w, h, base, qa)
+        )
+        assert (dw, dh) == (w, h)
+        p = np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(h, w)
+        assert int(p.sum()) == sum(64 * v for v in base)
+        assert int((p * p).sum()) == sum(
+            64 * (v * v + 4 * q * q) for v, q in zip(base, qa)
+        )
+        proj = np.outer(s[np.arange(h) % 8], s[np.arange(w) % 8])
+        assert int((p * proj).sum()) == sum(128 * q for q in qa)
+
+
+def test_jpeg_ac44_extreme_and_reject():
+    """Boundary qA values (+-7 with base at the clamp margins) stay
+    lossless; out-of-contract inputs reject."""
+    from gmall2021_flink_dw_spark.datapipe.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray_blocks_ac,
+    )
+
+    w, h, px = decode_jpeg_gray(
+        encode_jpeg_gray_blocks_ac(16, 8, [16, 239], [7, -7])
+    )
+    assert px[0] == 16 + 14 and px[8] == 239 - 14  # s(0)s(0) = +1
+    with pytest.raises(ValueError, match="AC"):
+        encode_jpeg_gray_blocks_ac(8, 8, [100], [8])
+    with pytest.raises(ValueError, match="match"):
+        encode_jpeg_gray_blocks_ac(16, 8, [100, 100], [1])
+    with pytest.raises(ValueError, match="multiple-of-8"):
+        encode_jpeg_gray_blocks_ac(12, 8, [100, 100], [1, 1])
+    # single-bit corruption anywhere: ValueError or a decode — never
+    # KeyError/IndexError/struct.error (the mixed-lane fuzz contract)
+    good = encode_jpeg_gray_blocks_ac(16, 8, [40, 200], [3, -5])
+    for i in range(2, len(good)):
+        mut = bytearray(good)
+        mut[i] ^= 0x80
+        try:
+            decode_jpeg_gray(bytes(mut))
+        except ValueError:
+            pass
+
+
+def test_jpeg_encoder_fuzz_odd_dims_and_huge_values():
+    """VERDICT r10 item 7: encoder-input fuzz — every odd-dimension x
+    out-of-range-value combination rejects with ValueError (never an
+    arithmetic error or silent wrap)."""
+    from gmall2021_flink_dw_spark.datapipe.multimodal import (
+        encode_jpeg_gray_blocks,
+        encode_jpeg_gray_blocks_ac,
+    )
+
+    for wd, ht in ((7, 8), (8, 9), (1, 1), (0, 8), (8, 0), (1024, 7)):
+        with pytest.raises(ValueError):
+            encode_jpeg_gray_blocks(wd, ht, [128])
+        with pytest.raises(ValueError):
+            encode_jpeg_gray_blocks_ac(wd, ht, [128], [1])
+    for bad in (-1, 256, 10**9, -(10**9)):
+        with pytest.raises(ValueError, match="range"):
+            encode_jpeg_gray_blocks(8, 8, [bad])
+        with pytest.raises(ValueError, match="range|AC"):
+            encode_jpeg_gray_blocks_ac(8, 8, [bad], [1])
+    for bad in (8, -8, 256, 10**9, -(10**9)):  # AC contract is [-7, 7]
+        with pytest.raises(ValueError, match="AC"):
+            encode_jpeg_gray_blocks_ac(8, 8, [128], [bad])
+
+
+def test_jpeg_marker_order_permutations():
+    """VERDICT r10 item 7: the header walk must tolerate any legal
+    ordering of DQT/SOF0/DHT before SOS (T.81 only requires them
+    before the scan) and reject streams where a required table is
+    missing at scan time."""
+    import itertools
+
+    from gmall2021_flink_dw_spark.datapipe.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray_blocks,
+    )
+
+    good = encode_jpeg_gray_blocks(8, 8, [77])
+    # carve the stream into its marker segments
+    segs = []
+    pos = 2
+    while good[pos : pos + 2] != b"\xff\xda":
+        ln = int.from_bytes(good[pos + 2 : pos + 4], "big")
+        segs.append(good[pos : pos + 2 + ln])
+        pos += 2 + ln
+    tail = good[pos:]  # SOS + entropy + EOI
+    assert len(segs) == 4  # DQT, SOF0, DHT(dc), DHT(ac)
+    ref = decode_jpeg_gray(good)
+    for perm in itertools.permutations(segs):
+        reordered = b"\xff\xd8" + b"".join(perm) + tail
+        assert decode_jpeg_gray(reordered) == ref
+    # drop each required segment: must raise, never KeyError
+    for drop in range(4):
+        partial = b"\xff\xd8" + b"".join(
+            s for i, s in enumerate(segs) if i != drop
+        ) + tail
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(partial)

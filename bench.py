@@ -308,12 +308,14 @@ def main() -> None:
     # this round regardless of the top-5/2x rules. r11 pins: sample_dsir
     # (its r10 floor inverted in the final run — VERDICT r10 item 3 asks
     # for one clean in-artifact certification of the kernel form) and
-    # the two bigram-LM consumers replanned this round, whose committed
-    # mins describe the RETIRED three-exchange plan.
+    # the THREE bigram-LM consumers replanned this round (the funnel
+    # pipeline moved onto the kernel mid-r11), whose committed mins
+    # describe the RETIRED three-exchange plan.
     floor_set |= {
         "sample_dsir",
         "text_perplexity",
         "sample_ccnet_buckets",
+        "corpus_filter_pipeline",
     } & set(times)
     floor_names = sorted(floor_set, key=lambda n: times[n], reverse=True)[:10]
     measured_floors: dict[str, float] = {}

@@ -1033,26 +1033,37 @@ _IDCT_COS = [
 ]
 _IDCT_C = [math.sqrt(0.5) if u == 0 else 1.0 for u in range(8)]
 
+# N[u][x] = C(u) * cos((2x+1) u pi / 16): the separable IDCT collapses
+# to out = 0.25 * N^T A N over the 8x8 coefficient matrix A. Built
+# lazily so importing the module never requires numpy on a worker that
+# only touches the stdlib codecs.
+_IDCT_N = None
+
 
 def _idct8x8(coeffs: list[int]) -> list[int]:
     """Float separable 2-D inverse DCT (row-major 64 coeffs in natural
-    order) -> 64 clamped 8-bit samples after +128 level shift."""
-    tmp = [[0.0] * 8 for _ in range(8)]
-    for y in range(8):
-        for x in range(8):
-            tmp[y][x] = 0.5 * sum(
-                _IDCT_C[u] * coeffs[y * 8 + u] * _IDCT_COS[x][u]
-                for u in range(8)
-            )
-    out = [0] * 64
-    for y in range(8):
-        for x in range(8):
-            v = 0.5 * sum(
-                _IDCT_C[u] * tmp[u][x] * _IDCT_COS[y][u] for u in range(8)
-            )
-            p = int(round(v)) + 128
-            out[y * 8 + x] = 0 if p < 0 else (255 if p > 255 else p)
-    return out
+    order) -> 64 clamped 8-bit samples after +128 level shift.
+
+    Vectorized (r11): the AC-exercising lane made full-IDCT blocks the
+    common case and the doubly-nested Python sum was 88% of decode
+    time (profiled: 1.58 of 1.79 s per 500 docs); two 8x8 numpy
+    matmuls replace ~1k interpreted multiply-adds per block. Rounding
+    parity: np.rint and Python round() are both half-to-even, and the
+    generated corpora reconstruct to exact integers (sub-epsilon float
+    error), so the matmul summation-order change cannot move a pixel."""
+    global _IDCT_N
+    import numpy as np
+
+    if _IDCT_N is None:
+        _IDCT_N = np.array(
+            [[_IDCT_C[u] * _IDCT_COS[x][u] for x in range(8)]
+             for u in range(8)],
+            dtype=np.float64,
+        )
+    a = np.asarray(coeffs, dtype=np.float64).reshape(8, 8)
+    v = 0.25 * (_IDCT_N.T @ a @ _IDCT_N)
+    p = np.rint(v).astype(np.int64) + 128
+    return np.clip(p, 0, 255).reshape(64).tolist()
 
 
 def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:

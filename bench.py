@@ -169,6 +169,7 @@ HEADLINE = [
     "streaming_heavy_hitters",
     # added r11:
     "multimodal_decode_jpeg_ac",
+    "vocab_coverage",
 ]
 
 

@@ -167,6 +167,29 @@ def trigram_mg_summaries(docs: DataFrame, m: int) -> DataFrame:
     return docs.mapInPandas(summarize, schema="key bigint, c long")
 
 
+def trigram_count_partials(docs: DataFrame) -> DataFrame:
+    """Per-BATCH distinct (key, c) trigram-count partials over a
+    1-column string DataFrame — the full-spectrum counterpart of
+    `trigram_exact_counts` (no candidate filter). Emitting per batch
+    (not per partition) keeps kernel state batch-bounded on an OPEN
+    key space; Spark's map-side partial aggregation merges batch
+    partials before the vocabulary-sized groupBy shuffle — the same
+    output-reducing contract as bigram_model_partials (the rows that
+    leave Python are bounded by distinct-per-batch, not by the
+    trigram instance stream)."""
+    import numpy as np
+
+    def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            u, n = np.unique(
+                _trigram_ids(batch.iloc[:, 0].tolist()), return_counts=True
+            )
+            if u.size:
+                yield pd.DataFrame({"key": u, "c": n})
+
+    return docs.mapInPandas(count, schema="key bigint, c long")
+
+
 def trigram_exact_counts(docs: DataFrame, candidate_ids) -> DataFrame:
     """Exact per-partition partial counts restricted to the candidate
     trigram ids (same kernel, np.isin filter); sum the partials with a

@@ -3996,6 +3996,136 @@ def _heavy_hitters_finalize(
     )
 
 
+@register(
+    "vocab_coverage",
+    oracle="""
+    WITH s AS (SELECT lower(text) AS t FROM documents),
+    g AS (
+      SELECT substr(t, i, 3) AS tri
+      FROM s, unnest(range(1, length(t) - 1)) AS u(i)
+    ),
+    c AS (SELECT tri, count(*)::BIGINT AS n FROM g GROUP BY 1),
+    ids AS (
+      SELECT (unicode(substr(tri, 1, 1))::BIGINT
+            | (unicode(substr(tri, 2, 1))::BIGINT << 21)
+            | (unicode(substr(tri, 3, 1))::BIGINT << 42)) AS tid, n
+      FROM c
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS total FROM c),
+    r AS (
+      SELECT tid, n,
+             sum(n) OVER (ORDER BY n DESC, tid) AS cum,
+             row_number() OVER (ORDER BY n DESC, tid) AS rk
+      FROM ids
+    ),
+    t(target_pct) AS (VALUES (50), (90), (99))
+    SELECT target_pct,
+           min(rk) AS vocab_size,
+           min_by(cum, rk)::BIGINT AS covered,
+           any_value(total)::BIGINT AS total,
+           min_by(cum, rk)::DOUBLE / any_value(total) AS coverage
+    FROM r, tot, t
+    WHERE cum * 100 >= target_pct * total
+    GROUP BY target_pct
+    """,
+    doc="Vocabulary COVERAGE CURVE over the open character-trigram key "
+    "space — the tokenizer-budget design question every BPE/unigram "
+    "vocabulary sizing starts from: the smallest top-k vocab (by "
+    "frequency, packed-id tiebreak — both engines derive the SAME "
+    "21-bit-per-codepoint packing, so ties need no string collation) "
+    "whose cumulative frequency covers >= {50, 90, 99}% of all token "
+    "instances, plus the exact covered/total instance counts. "
+    "Trigrams are the corpus's one honestly Zipf-like key space "
+    "(vocab 377 here; the curve is 74/173/327 at sf0.01). The "
+    "threshold test is EXACT INTEGER arithmetic (cum*100 >= "
+    "target*total — no float gate; cum <= N keeps the product under "
+    "2^63 for any N < 9.2e16, i.e. far past 100 TB of text), and the "
+    "single double emitted is one IEEE divide covered/total — "
+    "bit-identical across engines by construction. 100 TB shape: the "
+    "Arrow trigram kernel ships raw doc strings once and emits "
+    "per-batch DISTINCT (key, c) partials (map-side-mergeable, "
+    "output-reducing — the bigram_model_partials contract), the only "
+    "corpus-wide exchange is the vocabulary-sized groupBy, and the "
+    "frequency-spectrum cumsum/rank runs the scale-safe range-"
+    "exchange pattern (per-partition cumsum + broadcast prefix "
+    "offsets, the sample_ccnet_buckets rank template) — no single-"
+    "partition window over the vocabulary. Targets and the 1-row "
+    "total are broadcast scalars.",
+    tags=("datapipe", "text", "agg", "tokenizer"),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gmall2021_flink_dw_spark.datapipe.sketch import (
+        trigram_count_partials,
+    )
+
+    ensure_workers_can_import(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lower(F.col("text")).alias("t")
+    )
+    counts = (
+        trigram_count_partials(docs)
+        .groupBy("key")
+        .agg(F.sum("c").alias("n"))
+    )
+    # scale-safe global cumsum+rank over the frequency spectrum:
+    # range-exchange on the output order, per-partition local cumsum
+    # and row_number, then broadcast per-partition prefix offsets
+    # (#partitions rows) lift local -> global. No vocabulary-sized
+    # single-partition window.
+    ranged = tracked_persist(
+        counts.repartitionByRange(F.desc("n"), F.asc("key")).withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    per_pid = ranged.groupBy("pid").agg(
+        F.sum("n").alias("_pn"), F.count(F.lit(1)).alias("_pk")
+    )
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_pid.select(
+        "pid",
+        F.coalesce(F.sum("_pn").over(w_off), F.lit(0)).alias("_cum_off"),
+        F.coalesce(F.sum("_pk").over(w_off), F.lit(0)).alias("_rk_off"),
+    )
+    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    w_local = Window.partitionBy("pid").orderBy(F.desc("n"), F.asc("key"))
+    spectrum = (
+        ranged.withColumn(
+            "_lcum",
+            F.sum("n").over(
+                w_local.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("_lrk", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("_cum_off") + F.col("_lcum")).alias("cum"),
+            (F.col("_rk_off") + F.col("_lrk")).alias("rk"),
+        )
+    )
+    targets = spark.createDataFrame(
+        [(50,), (90,), (99,)], "target_pct int"
+    )
+    return (
+        spectrum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(targets))
+        .filter(F.col("cum") * 100 >= F.col("target_pct") * F.col("total"))
+        .groupBy("target_pct")
+        .agg(
+            F.min("rk").alias("vocab_size"),
+            F.min_by("cum", "rk").cast("bigint").alias("covered"),
+            F.any_value("total").cast("bigint").alias("total"),
+            (
+                F.min_by("cum", "rk").cast("double")
+                / F.any_value("total")
+            ).alias("coverage"),
+        )
+    )
+
+
 # temp trees from prior streaming_heavy_hitters invocations, reclaimed
 # on the next invocation (same contract as streaming_dedup_ingest)
 _HH_STREAM_DIRS: list[str] = []

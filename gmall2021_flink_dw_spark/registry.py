@@ -191,6 +191,7 @@ _DRIVER_WINDOW = (
 # caps how many may wait. New r11 queries appended as they land.
 _PENDING_FIRST_WINDOW: tuple[str, ...] = (
     "multimodal_decode_jpeg_ac",
+    "vocab_coverage",
 )
 
 

@@ -83,6 +83,8 @@ SCALAR_THRESHOLD_ALLOWED = {
     "text_heavy_hitters",
     # 1-row broadcast scalar: the leak_free invariant flag
     "sample_leakage_free_split",
+    # 1-row corpus-total + 3-row coverage-target broadcast scalars
+    "vocab_coverage",
 }
 
 DIM_TABLES = ("nation", "region", "part.parquet", "supplier", "customer")

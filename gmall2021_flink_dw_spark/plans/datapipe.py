@@ -4090,7 +4090,10 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("_pn").over(w_off), F.lit(0)).alias("_cum_off"),
         F.coalesce(F.sum("_pk").over(w_off), F.lit(0)).alias("_rk_off"),
     )
-    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    # total from the (partition-count-sized) per_pid table, NOT from
+    # `counts`: a second branch off the unpersisted counts would re-run
+    # the whole trigram kernel (measured: 8.6 -> 4.1 s at 10x)
+    total = per_pid.agg(F.sum("_pn").cast("bigint").alias("total"))
     w_local = Window.partitionBy("pid").orderBy(F.desc("n"), F.asc("key"))
     spectrum = (
         ranged.withColumn(

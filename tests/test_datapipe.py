@@ -1152,3 +1152,40 @@ def test_substring_dp_pack_guard_rejects_wide_doc_id(spark):
     bad = spark.createDataFrame([(1 << 31, A + A)], ["doc_id", "text"])
     with pytest.raises(Exception, match="doc_id outside"):
         merged_duplicate_spans_hashed(bad, min_len=10).collect()
+
+
+def test_trigram_count_partials_batching_invariant(spark):
+    """The full-spectrum trigram partials (vocab_coverage's kernel)
+    must sum to the same exact counts regardless of how docs are
+    batched/partitioned — per-batch distinct emission + the downstream
+    groupBy is the whole correctness story."""
+    from pyspark.sql import functions as F
+
+    from gmall2021_flink_dw_spark.datapipe.sketch import (
+        trigram_count_partials,
+    )
+
+    texts = ["abcabc", "bca", "xy", "", "aaaa", "cab cab"]
+    rows = [(t,) for t in texts]
+
+    def counts(n_parts: int) -> dict:
+        df = spark.createDataFrame(rows, "t string").repartition(n_parts)
+        out = (
+            trigram_count_partials(df)
+            .groupBy("key")
+            .agg(F.sum("c").alias("n"))
+            .collect()
+        )
+        return {r.key: r.n for r in out}
+
+    ref = counts(1)
+    # brute-force expectation from the definition
+    expected: dict = {}
+    for t in texts:
+        for i in range(len(t) - 2):
+            tri = t[i : i + 3]
+            k = ord(tri[0]) | (ord(tri[1]) << 21) | (ord(tri[2]) << 42)
+            expected[k] = expected.get(k, 0) + 1
+    assert ref == expected
+    for n in (2, 3, 6):
+        assert counts(n) == expected

@@ -509,3 +509,47 @@ def test_jpeg_marker_order_permutations():
         ) + tail
         with pytest.raises(ValueError):
             decode_jpeg_gray(partial)
+
+
+def test_idct_matmul_matches_scalar_reference():
+    """The r11 vectorized _idct8x8 (two 8x8 numpy matmuls) must be
+    output-identical to the scalar separable form it replaced — same
+    basis tables, same +128 level shift, same clamp, and half-to-even
+    rounding on both paths (np.rint == Python round for floats). Random
+    coefficient matrices exercise values far outside the lossless
+    generated-corpus subset, so this pins the general decoder, not just
+    the oracle lane."""
+    import random
+
+    from gmall2021_flink_dw_spark.datapipe.multimodal import (
+        _IDCT_C,
+        _IDCT_COS,
+        _idct8x8,
+    )
+
+    def scalar(coeffs):
+        tmp = [[0.0] * 8 for _ in range(8)]
+        for y in range(8):
+            for x in range(8):
+                tmp[y][x] = 0.5 * sum(
+                    _IDCT_C[u] * coeffs[y * 8 + u] * _IDCT_COS[x][u]
+                    for u in range(8)
+                )
+        out = [0] * 64
+        for y in range(8):
+            for x in range(8):
+                v = 0.5 * sum(
+                    _IDCT_C[u] * tmp[u][x] * _IDCT_COS[y][u]
+                    for u in range(8)
+                )
+                p = int(round(v)) + 128
+                out[y * 8 + x] = 0 if p < 0 else (255 if p > 255 else p)
+        return out
+
+    rng = random.Random(11)
+    for _ in range(500):
+        coeffs = [
+            rng.randint(-1024, 1024) if rng.random() < 0.4 else 0
+            for _ in range(64)
+        ]
+        assert _idct8x8(coeffs) == scalar(coeffs)

@@ -170,6 +170,7 @@ HEADLINE = [
     # added r11:
     "multimodal_decode_jpeg_ac",
     "vocab_coverage",
+    "sample_weighted",
 ]
 
 

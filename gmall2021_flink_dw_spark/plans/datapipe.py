@@ -1454,6 +1454,65 @@ def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEIGHTED_K = 200
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({TOKENS_SQL}) AS weight FROM documents
+      WHERE len({TOKENS_SQL}) > 0
+    ),
+    k AS (
+      SELECT doc_id, weight,
+             round(
+               ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   + 1) / 4294967296.0) / weight,
+               6) AS key6
+      FROM t
+    )
+    SELECT doc_id, weight::BIGINT AS weight, key6
+    FROM k ORDER BY key6 DESC, doc_id LIMIT {_WEIGHTED_K}
+    """,
+    doc="WEIGHTED sampling without replacement via exponential keys "
+    "(Efraimidis & Spirakis 2006, the A-Res scheme): each doc draws a "
+    "deterministic uniform u from md5(doc_id) (the sample_hash_bucket "
+    "recipe — no RNG state, stable under retries and repartitioning) "
+    "and competes with key u^(1/w), implemented in its monotone log "
+    "form ln(u)/w; the top-k keys ARE a weighted-without-replacement "
+    "sample, here weighted by token count (longer docs "
+    "proportionally likelier — the token-budget-aware subcorpus "
+    "draw). 100 TB shape: one scan, keys in codegen, and the top-k is "
+    "TakeOrderedAndProject (per-partition top-200 + driver merge) — "
+    "ZERO shuffles. Float contract: u = (v+1)/2^32 is exact in "
+    "double (power-of-two divide of a 32-bit integer), ln is the "
+    "one libm call (same IEEE input both engines), and selection "
+    "orders on round(key, 6) with doc_id tiebreak — the "
+    "text_perplexity/ccnet emission-grid contract (residual risk: a "
+    "sub-ulp ln difference crossing the 1e-6 grid).",
+    tags=("datapipe", "sampling", "topn"),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    w = F.size("__tokens")
+    v = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    key6 = F.round(
+        F.log((v + 1).cast("double") / F.lit(4294967296.0))
+        / F.col("weight"),
+        6,
+    )
+    return (
+        docs.filter(w > 0)
+        .select("doc_id", w.cast("bigint").alias("weight"))
+        .withColumn("key6", key6)
+        .orderBy(F.desc("key6"), F.asc("doc_id"))
+        .limit(_WEIGHTED_K)
+    )
+
+
 _REDACT_PAT = r"\b\w+ing\b"
 
 

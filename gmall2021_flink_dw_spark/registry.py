@@ -192,6 +192,7 @@ _DRIVER_WINDOW = (
 _PENDING_FIRST_WINDOW: tuple[str, ...] = (
     "multimodal_decode_jpeg_ac",
     "vocab_coverage",
+    "sample_weighted",
 )
 
 

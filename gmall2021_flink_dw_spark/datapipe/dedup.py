@@ -76,6 +76,7 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
     max_df_frac: float | None = None,
     df_floor: int = 5,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via inverted-index join on shingles.
 
@@ -89,13 +90,21 @@ def ngram_jaccard_pairs(
     tests/test_datapipe.py); na/nb keep the uncapped shingle counts, so
     surviving pairs' Jaccard values are unchanged or lowered, never
     inflated.
+
+    exploded (r11): callers that already materialized the per-doc
+    shingle arrays (dedup_minhash_lsh persists them for the LSH side)
+    pass their own (doc_id, n_grams, shingle) exploded table so the
+    regexp tokenizer + shingle-array build runs ONCE per query, not
+    once per side.
     """
     # Persist the exploded shingle table: it feeds BOTH sides of the
     # self-join, and Spark evaluates each DAG branch independently —
     # without this the regexp tokenizer + shingle build runs twice. At
     # 100 TB this is "materialize the inverted index before joining"
     # (a checkpoint to storage); in-memory persist is the local form.
-    e = tracked_persist(doc_shingles(docs, n))
+    e = tracked_persist(
+        doc_shingles(docs, n) if exploded is None else exploded
+    )
     if max_df is not None or max_df_frac is not None:
         df_counts = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         if max_df is not None:
@@ -211,8 +220,22 @@ def minhash_lsh_candidates(sigs: DataFrame) -> DataFrame:
     )
 
 
+def shingle_grams(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Persisted per-doc shingle-array table (doc_id, grams, n_grams) —
+    the shared intermediate of the LSH and exact-Jaccard paths."""
+    return tracked_persist(
+        with_tokens(docs)
+        .filter(F.size("__tokens") >= n)
+        .select("doc_id", shingles("__tokens", n).alias("grams"))
+        .withColumn("n_grams", F.size("grams"))
+    )
+
+
 def minhash_lsh_pairs(
-    docs: DataFrame, n: int = 5, threshold: float = 0.5
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash LSH candidates verified with exact Jaccard (computed only
     for candidates — the 100 TB-scale near-dup path).
@@ -221,13 +244,11 @@ def minhash_lsh_pairs(
     path and both sides of the candidate-verify join consume it, and
     Spark recomputes unshared DAG branches — without the persist the
     tokenizer runs three times over the corpus. At 100 TB the same
-    intermediate is a checkpointed table."""
-    grams = tracked_persist(
-        with_tokens(docs)
-        .filter(F.size("__tokens") >= n)
-        .select("doc_id", shingles("__tokens", n).alias("grams"))
-        .withColumn("n_grams", F.size("grams"))
-    )
+    intermediate is a checkpointed table. Callers that also need the
+    shingle arrays (dedup_minhash_lsh's exact side) build them once via
+    `shingle_grams` and pass them in."""
+    if grams is None:
+        grams = shingle_grams(docs, n)
     exploded = grams.select(
         "doc_id", "n_grams", F.explode("grams").alias("shingle")
     )

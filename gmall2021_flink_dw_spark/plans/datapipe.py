@@ -242,6 +242,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall2021_flink_dw_spark.datapipe.dedup import shingle_grams
+
     # tokenize once for both the exact side and the LSH side
     # (with_tokens is idempotent; both helpers reuse this column)
     docs = tracked_persist(
@@ -252,10 +254,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "__tokens"
         )
     )
+    # shingle arrays built ONCE (r11): the LSH side consumes the arrays
+    # and the exact side consumes their explode — previously each side
+    # re-ran the array build over the tokenized corpus.
+    grams = shingle_grams(docs, n=5)
+    exploded = grams.select(
+        "doc_id", "n_grams", F.explode("grams").alias("shingle")
+    )
     exact = ngram_jaccard_pairs(
-        docs, n=5, threshold=0.5, max_df_frac=0.01, df_floor=5
+        docs,
+        n=5,
+        threshold=0.5,
+        max_df_frac=0.01,
+        df_floor=5,
+        exploded=exploded,
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-    lsh = minhash_lsh_pairs(docs, n=5, threshold=0.5)
+    lsh = minhash_lsh_pairs(docs, n=5, threshold=0.5, grams=grams)
     return _recall_checked(
         exact,
         lsh,

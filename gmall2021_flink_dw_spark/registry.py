@@ -101,99 +101,90 @@ def register(
 # commit (VERDICT r04 item 1: the handover state must be green; the
 # forcing function moves to the start-of-round bump, asserted by
 # test_window_round_is_bumped).
-_WINDOW_ROUND = 11
+_WINDOW_ROUND = 12
 
-# r11 window (VERDICT r10 item 1): executes the rebuild pre-committed
-# at the end of r10. Census entering r11: 156 registered queries, so
+# r12 window (VERDICT r11 item 1): executes the rebuild pre-committed
+# at the end of r11. Census entering r12: 159 registered queries, so
 # the staleness bound derived by tests/test_catalog.py stays at
-# ceil(156/50) - 1 = 3 successful driver rounds. Effective round
-# sequence entering r11: [r1..r7, r9, r10] (r08 crashed, zero
+# ceil(159/50) - 1 = 3 successful driver rounds. Effective round
+# sequence entering r12: [r1..r7, r9, r10, r11] (r08 crashed, zero
 # evidence, consumed no rotation capacity).
 #
-# Layout: (a) the three _PENDING_FIRST_WINDOW names from r10 — the
+# Layout: (a) the three _PENDING_FIRST_WINDOW names from r11 — the
 # only registered queries with ZERO driver evidence — go first;
-# (b) the six names whose newest driver row is r06 (effective
-# staleness 3 entering r11 — AT the bound; three spilled from the r10
-# rebuild, three displaced by r10's replanned-query exception);
-# (c) the remaining 41 slots fill from the 50-name r07 cohort in
-# registration order. The 9 spilled r07 names — dws_province_stats,
-# dws_order_quantiles_approx, dws_promo_window_stats,
-# dws_event_measures, dwd_clean_events, dwd_event_split_counts,
-# dwm_unique_visit, dwd_new_user_flag, dws_sales_cube — sit at
-# effective staleness 3 after r11 (exactly the bound, still legal)
-# and MUST lead the r12 rebuild. NOTE (r11 mid-round): the bigram-LM
-# core shared by text_perplexity and sample_ccnet_buckets is being
-# replanned this round (VERDICT r10 item 2); both names are already
-# inside this window ((a) and (c) sections), so the changed plans
-# re-verify without a displacement exception.
+# (b) the nine names whose newest driver row is r07 (effective
+# staleness 3 entering r12 — AT the bound; spilled from the r11
+# rebuild, pre-committed there to lead this one);
+# (c) the remaining 38 slots fill from the 47-name r09 cohort in
+# registration order. The 9 spilled r09 names — dws_session_window,
+# dws_salted_agg, tpch_q10_returns, tpch_q15_topsupplier,
+# tpch_q7_volume, dws_hopping_stats, dws_uv_sketch_rollup, tpch_q1,
+# tpch_q3 — sit at effective staleness 3 after r12 (exactly the
+# bound, still legal) and MUST lead the r13 rebuild.
 _DRIVER_WINDOW = (
-    # (a) zero driver evidence — pre-committed in r10's
+    # (a) zero driver evidence — pre-committed in r11's
     # _PENDING_FIRST_WINDOW; front-loaded verbatim
-    "sample_ccnet_buckets",
-    "dedup_substring_clean_hashed",
-    "dedup_substring_keepfirst_hashed",
-    # (b) newest driver row r06 — at the staleness bound of 3
-    "text_stats",
-    "lang_id",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "ann_topk",
-    "multimodal_decode",
-    # (c) the r07 cohort, registration order; first 41 of 50 (the 9
-    # names listed in the header comment spill to r12 at staleness 3)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_bucketed",
-    "multimodal_decode_real",
-    "quality_classifier",
-    "text_perplexity",
-    "dedup_winnow_pairs",
-    "ann_ivf",
-    "ann_pq",
-    "sample_hash_bucket",
-    "dedup_embedding_lsh",
-    "dedup_semantic",
-    "multimodal_embed",
-    "text_boilerplate",
-    "sample_curriculum_rank",
-    "text_repetition",
-    "streaming_dedup_ingest",
-    "corpus_length_histogram",
-    "corpus_ngram_novelty",
-    "corpus_filter_pipeline",
-    "tokenizer_train_bpe",
-    "tokenizer_apply_bpe",
-    "tokenizer_tokenize_docs",
-    "cdc_changelog",
-    "cdc_route",
-    "cdc_route_projected",
-    "cdc_snapshot_at",
-    "cdc_dim_snapshot",
-    "cdc_scd2",
-    "streaming_cdc_upsert",
-    "streaming_visitor_stats",
-    "streaming_exact_distinct",
-    "streaming_new_user_flag",
-    "streaming_interval_join",
-    "streaming_uv_dedup",
-    "streaming_jump_detect",
-    "streaming_session_window",
-    "streaming_keyword_stats",
-    "dws_keyword_stats",
-    "dws_visitor_stats",
-    "dws_product_stats",
+    "multimodal_decode_jpeg_ac",
+    "vocab_coverage",
+    "sample_weighted",
+    # (b) newest driver row r07 — at the staleness bound of 3
+    "dwd_clean_events",
+    "dwd_event_split_counts",
+    "dwd_new_user_flag",
+    "dwm_unique_visit",
+    "dws_event_measures",
+    "dws_order_quantiles_approx",
+    "dws_promo_window_stats",
+    "dws_province_stats",
+    "dws_sales_cube",
+    # (c) the r09 cohort, registration order; first 38 of 47 (the 9
+    # names listed in the header comment spill to r13 at staleness 3)
+    "multimodal_audio_features",
+    "multimodal_image_stats",
+    "dedup_substring_spans",
+    "dedup_substring_clean",
+    "dedup_substring_clean_keepfirst",
+    "source_jsonl_events",
+    "source_orc_events",
+    "source_csv_docs",
+    "text_normalize",
+    "shard_balance",
+    "source_schema_evolution",
+    "lake_compact_events",
+    "dws_event_pivot",
+    "ads_gmv_trailing_7d",
+    "source_variant_props",
+    "text_heavy_hitters",
+    "lake_zorder_layout",
+    "embedding_gram",
+    "cdc_incremental_agg",
+    "streaming_hopping_stats",
+    "streaming_topic_router",
+    "streaming_late_data_drop",
+    "streaming_dws_sink",
+    "streaming_gmv_dashboard",
+    "streaming_gmv_update_log",
+    "dws_keyword_stats_udf",
+    "dws_product_stats_approx",
+    "dws_visitor_stats_compat",
+    "kafka_wire_events",
+    "dwm_user_jump",
+    "dwm_session_stats",
+    "dwm_order_wide",
+    "dwm_order_wide_missdrop",
+    "dwm_payment_wide",
+    "ads_gmv_by_day",
+    "ads_top_brands",
+    "ads_top_types",
+    "ads_top_parts",
 )
 
 # Queries registered AFTER the upcoming round's 50-slot window filled.
 # These carry local oracle parity but zero driver evidence yet, and
 # MUST be the first (b)-section entries of the NEXT window rebuild.
 # tests/test_catalog.py projects them to round _WINDOW_ROUND + 1 and
-# caps how many may wait. New r11 queries appended as they land.
-_PENDING_FIRST_WINDOW: tuple[str, ...] = (
-    "multimodal_decode_jpeg_ac",
-    "vocab_coverage",
-    "sample_weighted",
-)
+# caps how many may wait. New r12 queries appended as they land.
+_PENDING_FIRST_WINDOW: tuple[str, ...] = ()
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -207,19 +207,29 @@ def fit_bigram_model(docs: DataFrame):
     """Run the fit pass and return (cb, cu, v) as plain Python
     objects, guarded by MAX_MODEL_ENTRIES. cu is summed driver-side
     from the collected cb rows (exact integer arithmetic, order-
-    free), so the model needs exactly ONE vocabulary-sized shuffle."""
-    rows = (
-        bigram_model_partials(docs)
-        .groupBy("w1", "w2")
-        .sum("k")
-        .collect()
+    free), so the model needs exactly ONE vocabulary-sized shuffle.
+
+    Guard ORDER matters (VERDICT r11 item 2): the cap is probed with a
+    LocalLimit count on the persisted aggregate BEFORE collect(), so a
+    pathologically un-Zipf corpus raises while the driver holds zero
+    model rows — a guard after the collect would only fire after the
+    over-cap model had already flattened driver memory. The persist
+    makes the probe ~free: the first action materializes the aggregate
+    executor-side, the collect re-reads the cache (no second shuffle).
+    """
+    from gmall2021_flink_dw_spark.cache import tracked_persist
+
+    agg = tracked_persist(
+        bigram_model_partials(docs).groupBy("w1", "w2").sum("k")
     )
-    if len(rows) > MAX_MODEL_ENTRIES:
+    probe = agg.limit(MAX_MODEL_ENTRIES + 1).count()
+    if probe > MAX_MODEL_ENTRIES:
         raise ValueError(
-            f"bigram model has {len(rows)} entries "
-            f"(> {MAX_MODEL_ENTRIES}); prune the LM (KenLM-style) or "
-            "raise MAX_MODEL_ENTRIES before broadcasting"
+            f"bigram model exceeds {MAX_MODEL_ENTRIES} entries; "
+            "prune the LM (KenLM-style) or raise MAX_MODEL_ENTRIES "
+            "before broadcasting"
         )
+    rows = agg.collect()
     cb: dict[tuple[str, str], int] = {}
     cu: dict[str, int] = {}
     v = 0

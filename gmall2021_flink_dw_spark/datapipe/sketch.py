@@ -109,10 +109,13 @@ def mg_partition_summaries(
 
 def _trigram_ids(texts) -> "np.ndarray":
     """int64 trigram ids for every character trigram in a batch of
-    strings (windows never cross document boundaries)."""
+    strings (windows never cross document boundaries). NULL/None
+    entries yield no trigrams — matching the SQL oracles, where a NULL
+    text row contributes zero rows to the trigram stream (ADVICE r11:
+    None.encode used to raise, diverging from the DuckDB side)."""
     import numpy as np
 
-    bufs = [t.encode("utf-32-le") for t in texts]
+    bufs = [t.encode("utf-32-le") for t in texts if t is not None]
     if not bufs:
         return np.empty(0, dtype=np.int64)
     cp = np.frombuffer(b"".join(bufs), dtype=np.uint32)

@@ -245,14 +245,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall2021_flink_dw_spark.datapipe.dedup import shingle_grams
 
     # tokenize once for both the exact side and the LSH side
-    # (with_tokens is idempotent; both helpers reuse this column)
-    docs = tracked_persist(
-        # project before persisting: caching the full row would pin
-        # the raw text alongside the tokens (2x cache bytes) and
-        # widen every downstream exchange
-        with_tokens(load_table(spark, sf_dir, "documents")).select(
-            "doc_id", "__tokens"
-        )
+    # (with_tokens is idempotent; both helpers reuse this column).
+    # NOT persisted (r12, ADVICE r11): after the r11 shingle_grams
+    # refactor both sides read grams/exploded, so the tokenized table
+    # has exactly ONE consumer — shingle_grams' own tracked_persist is
+    # the shared cached intermediate; caching this too pinned a
+    # corpus-sized table that was never re-read.
+    docs = with_tokens(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "__tokens"
     )
     # shingle arrays built ONCE (r11): the LSH side consumes the arrays
     # and the exact side consumes their explode — previously each side
@@ -3090,8 +3090,14 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     model = fit_bigram_model(qc.select("__tokens"))
     bcast = spark.sparkContext.broadcast(model)
-    lp = bigram_lm_scores(qc.select("doc_id", "__tokens"), bcast).select(
-        "doc_id", "lp"
+    # persisted: TWO consumers (the mu aggregate and the fluent join)
+    # each evaluate their own DAG branch, so without the persist the
+    # Arrow scoring kernel re-runs over the full quality-passing corpus
+    # (ADVICE r11; same lesson as vocab_coverage's 8.6 -> 4.1 s persist)
+    lp = tracked_persist(
+        bigram_lm_scores(qc.select("doc_id", "__tokens"), bcast).select(
+            "doc_id", "lp"
+        )
     )
     mu = lp.agg(F.avg("lp").alias("mu"))
     fluent = tracked_persist(
@@ -4499,18 +4505,24 @@ def lake_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
         )
     staged = events.withColumn("z", z)
+    # Layout width from session config, not a literal (VERDICT r11
+    # item 6, same class as the ccnet sizing fix): file count scales
+    # with the session's shuffle parallelism, so the experiment keeps
+    # one file per shuffle slot at any deployment size. Both layouts
+    # use the SAME width so the files-hit comparison is apples-to-apples.
+    n_files = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # z layout: range-partition + sort on the Morton code -> each file
     # holds a contiguous z-range = a small rectangle in (user, hour)
     (
-        staged.repartitionByRange(32, "z")
+        staged.repartitionByRange(n_files, "z")
         .sortWithinPartitions("z")
         .write.mode("overwrite")
         .parquet(zdir)
     )
     # control: hash-scatter, every file sees every region
-    staged.repartition(32, "event_id").write.mode("overwrite").parquet(
-        ldir
-    )
+    staged.repartition(n_files, "event_id").write.mode(
+        "overwrite"
+    ).parquet(ldir)
     region = lambda df: df.where(  # noqa: E731
         F.col("user_id").between(3, 7)
         & (F.date_format(F.to_date("ts"), "yyyy-MM-dd") == "2024-01-10")

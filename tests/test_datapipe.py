@@ -1189,3 +1189,38 @@ def test_trigram_count_partials_batching_invariant(spark):
     assert ref == expected
     for n in (2, 3, 6):
         assert counts(n) == expected
+
+
+def test_fit_bigram_model_guard_fires_before_collect(spark, monkeypatch):
+    """VERDICT r11 item 2: the MAX_MODEL_ENTRIES cap must be probed
+    (LocalLimit count) BEFORE collect(), so an over-cap model raises
+    while the driver holds zero model rows. collect() is patched to a
+    tripwire: reaching it with the cap exceeded means the guard no
+    longer bounds driver memory."""
+    import pyspark.sql
+
+    from gmall2021_flink_dw_spark.datapipe import bigram_lm
+    from gmall2021_flink_dw_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    docs = spark.createDataFrame(
+        [(["a", "b", "c"],), (["b", "c", "d"],)],
+        "__tokens array<string>",
+    )
+    # tiny cap: the 4-unigram + 4-bigram model exceeds 2 entries
+    monkeypatch.setattr(bigram_lm, "MAX_MODEL_ENTRIES", 2)
+
+    def trip(self):
+        raise AssertionError(
+            "collect() reached with the model over MAX_MODEL_ENTRIES"
+        )
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", trip)
+    with pytest.raises(ValueError, match="exceeds 2 entries"):
+        bigram_lm.fit_bigram_model(docs)
+
+    # and the happy path still fits + collects through the same probe
+    monkeypatch.undo()
+    ensure_workers_can_import(spark)
+    cb, cu, v = bigram_lm.fit_bigram_model(docs)
+    assert v == 4 and cb[("b", "c")] == 2 and cu["b"] == 2

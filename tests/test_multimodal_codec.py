@@ -553,3 +553,14 @@ def test_idct_matmul_matches_scalar_reference():
             for _ in range(64)
         ]
         assert _idct8x8(coeffs) == scalar(coeffs)
+
+    # Adversarial exact-half cases (ADVICE r11): random-block parity is
+    # EMPIRICAL w.r.t. float summation order — a value within an ulp of
+    # a .5 boundary could round differently on the two paths. DC-only
+    # blocks make every pre-round value EXACTLY DC/8 (a dyadic
+    # rational, represented exactly in binary float on both paths), so
+    # DC ≡ 4 (mod 8) pins the half-to-even boundary itself — the worst
+    # case the random sweep can't reliably hit.
+    for dc in range(-1020, 1021, 8):
+        coeffs = [dc] + [0] * 63
+        assert _idct8x8(coeffs) == scalar(coeffs), dc

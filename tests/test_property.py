@@ -172,6 +172,20 @@ def test_trigram_kernel_matches_python_reference(texts):
     assert got == want
 
 
+def test_trigram_kernel_skips_null_texts():
+    """NULL text rows yield zero trigrams instead of AttributeError
+    (ADVICE r11) — matching the SQL oracles, where a NULL row simply
+    contributes no rows to the trigram stream. Boundary masking must
+    still hold around the skipped entry."""
+    from gmall2021_flink_dw_spark.datapipe.sketch import _trigram_ids
+
+    with_nulls = _trigram_ids(["abcd", None, "wxyz", None])
+    without = _trigram_ids(["abcd", "wxyz"])
+    assert with_nulls.tolist() == without.tolist()
+    assert _trigram_ids([None]).size == 0
+    assert _trigram_ids([None, "ab"]).size == 0
+
+
 @given(
     st.lists(st.integers(0, 50), min_size=1, max_size=200),
     st.integers(2, 8),

@@ -113,3 +113,62 @@ def test_quadratic_anchor_gate_names_are_registered_exact_forms() -> None:
     for scale_path in ("dedup_substring_spans_hashed", "dedup_embedding_lsh"):
         assert scale_path in bench.HEADLINE
         assert scale_path not in bench.QUADRATIC_ANCHORS
+
+
+def test_merge_floor_measurements_takes_per_query_min() -> None:
+    """VERDICT r11 item 3 protocol change: the mid-session early floor
+    and the end-of-session re-time are both honest uncontended samples
+    of the same plan; evidence is the per-query MIN, and a query with
+    only one sample keeps it."""
+    early = {"sample_dsir": 1.41, "only_early": 0.9}
+    late = {"sample_dsir": 2.30, "only_late": 3.1}
+    merged = bench.merge_floor_measurements(early, late)
+    assert merged == {
+        "sample_dsir": 1.41,
+        "only_early": 0.9,
+        "only_late": 3.1,
+    }
+    # and an early floor never RAISES an end-of-session one
+    assert bench.merge_floor_measurements({"q": 5.0}, {"q": 2.0}) == {
+        "q": 2.0
+    }
+
+
+def test_early_floor_pins_are_registered_and_bounded() -> None:
+    """Every pinned floor name must exist in HEADLINE (else the early
+    pass never times it) and the early-floor gate only fires for
+    genuinely fast queries — the end-of-session protocol remains the
+    evidence path for everything expensive."""
+    for n in bench.PINNED_FLOORS:
+        assert n in bench.HEADLINE, n
+    assert bench.EARLY_FLOOR_MAX_SEC == 2.0
+    # inverted-regime guard still classifies merged floors: an early
+    # floor above the final pass min is unavailable, not evidence
+    floors, unavailable = bench.split_floors(
+        {"sample_dsir": 1.2},
+        bench.merge_floor_measurements({"sample_dsir": 1.5}, {}),
+    )
+    assert floors == {} and unavailable == {"sample_dsir": 1.5}
+
+
+def test_split_floors_fast_query_noise_tolerance() -> None:
+    """Sub-2s queries: a solo re-time within FAST_FLOOR_TOL of the pass
+    reproduces it and certifies (the r10-r12 sample_dsir inversions
+    were 2-4% — pure sampling noise); beyond the tolerance, or for any
+    query at/over the fast bound, the strict inverted-regime rule
+    stands."""
+    times = {"fast_ok": 1.40, "fast_bad": 1.40, "slow": 5.0}
+    measured = {
+        "fast_ok": 1.45,   # +3.6% on a 1.4s pass: reproduces
+        "fast_bad": 1.60,  # +14%: beyond tolerance, unavailable
+        "slow": 5.2,       # +4% on a 5s pass: strict rule, unavailable
+    }
+    floors, unavailable = bench.split_floors(times, measured)
+    assert floors == {"fast_ok": 1.45}
+    assert unavailable == {"fast_bad": 1.60, "slow": 5.2}
+    # boundary: pass exactly AT the fast bound gets no tolerance
+    f, u = bench.split_floors(
+        {"edge": bench.EARLY_FLOOR_MAX_SEC},
+        {"edge": bench.EARLY_FLOOR_MAX_SEC * 1.05},
+    )
+    assert f == {} and "edge" in u

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from gmall2021_flink_dw_spark.cache import tracked_persist
 
-from gmall2021_flink_dw_spark.datapipe.text import shingles, with_tokens
+from gmall2021_flink_dw_spark.datapipe.text import shingle_hashes, with_tokens
 
 # 31-bit Mersenne prime: keeps a*h + b within long range under Spark's
 # default ANSI overflow checking (a,b < 2^30, h < 2^31 -> product < 2^61).
@@ -61,10 +61,17 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def doc_shingles(docs: DataFrame, n: int = 5) -> DataFrame:
-    """(doc_id, shingle) exploded pairs + per-doc shingle count."""
+    """(doc_id, shingle) exploded pairs + per-doc shingle count.
+
+    `shingle` is the int64 xxhash64 identity, not the string (r12):
+    every consumer — the inverted-index self-join, the df-cap, MinHash
+    signatures, the contamination broadcast join — compares shingles
+    only for equality, and the string form's concat+persist+shuffle
+    was the measured 10x bottleneck (see text.py::shingle_hashes for
+    the numbers and the collision contract)."""
     toks = with_tokens(docs).filter(F.size("__tokens") >= n)
     sh = toks.select(
-        "doc_id", shingles("__tokens", n).alias("grams")
+        "doc_id", shingle_hashes("__tokens", n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
     return sh.select("doc_id", "n_grams", F.explode("grams").alias("shingle"))
 
@@ -222,11 +229,14 @@ def minhash_lsh_candidates(sigs: DataFrame) -> DataFrame:
 
 def shingle_grams(docs: DataFrame, n: int = 5) -> DataFrame:
     """Persisted per-doc shingle-array table (doc_id, grams, n_grams) —
-    the shared intermediate of the LSH and exact-Jaccard paths."""
+    the shared intermediate of the LSH and exact-Jaccard paths. Arrays
+    hold int64 shingle identities (text.py::shingle_hashes): the
+    array_intersect verify and the signature path are equality-only,
+    and long arrays persist/exchange ~4x smaller than the strings."""
     return tracked_persist(
         with_tokens(docs)
         .filter(F.size("__tokens") >= n)
-        .select("doc_id", shingles("__tokens", n).alias("grams"))
+        .select("doc_id", shingle_hashes("__tokens", n).alias("grams"))
         .withColumn("n_grams", F.size("grams"))
     )
 

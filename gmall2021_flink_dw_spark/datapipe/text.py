@@ -147,6 +147,46 @@ def shingles(tokens: Column | str, n: int = 5) -> Column:
     return let(t_in, body)
 
 
+def shingle_hashes(tokens: Column | str, n: int = 5) -> Column:
+    """Distinct word n-gram IDENTITIES as int64 xxhash64 values — the
+    allocation-free twin of :func:`shingles` for consumers that only
+    ever compare shingles for equality (inverted-index joins, distinct,
+    MinHash), which is every dedup-family consumer.
+
+    Why (r12, measured at 10x sf0.1): building 2.56M concat_ws string
+    shingles and persisting/shuffling them cost 9.5-12.6 s of
+    ngram_jaccard_pairs' 16-22 s — the alloc-bound-explode trap (same
+    lesson as the UTF-32 trigram kernel). Hashing the n tokens DIRECTLY
+    (multi-arg xxhash64 is length-delimited per field, so token
+    boundaries stay unambiguous without ever building the joined
+    string) means no shingle string exists at any point: the explode,
+    the persist, the df-cap, and the self-join all carry 8-byte longs.
+
+    Collision contract: what correctness needs is no collision WITHIN
+    one doc pair's shingle union (it would perturb that pair's
+    inter/union counts); for unions of ~10^3 shingles that probability
+    is ~1e-13 per pair at 64 bits — negligible at any corpus scale
+    (corpus-WIDE collisions merely alias two unrelated index keys,
+    which the verify/groupBy stage already tolerates). Same documented
+    trade as the *_hashed ExactSubstr family."""
+    t_in = F.col(tokens) if isinstance(tokens, str) else tokens
+
+    def body(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        built = F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(t, i + j + 1) for j in range(n)]
+                ),
+            )
+        )
+        empty = F.array().cast(T.ArrayType(T.LongType()))
+        return F.when(F.size(t) >= n, built).otherwise(empty)
+
+    return let(t_in, body)
+
+
 def duck_shingles(n: int = 5) -> str:
     """DuckDB translation over a 1-based list column `w`:
     list_distinct(list_transform(range(1, len(w)-(n-2)), i -> ...))."""

@@ -104,13 +104,26 @@ def ngram_jaccard_pairs(
     regexp tokenizer + shingle-array build runs ONCE per query, not
     once per side.
     """
-    # Persist the exploded shingle table: it feeds BOTH sides of the
+    # Persist the exploded shingle table HASH-PARTITIONED ON THE JOIN
+    # KEY: it feeds the df-count aggregate and BOTH sides of the
     # self-join, and Spark evaluates each DAG branch independently —
-    # without this the regexp tokenizer + shingle build runs twice. At
-    # 100 TB this is "materialize the inverted index before joining"
-    # (a checkpoint to storage); in-memory persist is the local form.
+    # without the persist the tokenizer + shingle build runs three
+    # times, and without the repartition each consumer re-exchanges the
+    # cached rows on `shingle` (three shuffles of the same table on the
+    # same key; the broadcast anti-join below preserves partitioning,
+    # so with it the groupBy AND both self-join sides read co-located
+    # cache blocks exchange-free — measured 8.3 -> 6.4 s at 10x, r12).
+    # At 100 TB this is "materialize the inverted index partitioned by
+    # term before joining" (a bucketed checkpoint); the in-memory
+    # persist is the local form. Caller-supplied `exploded` tables are
+    # NOT re-partitioned: they derive from an already-persisted grams
+    # cache (dedup_minhash_lsh), where the extra exchange+persist costs
+    # more than it saves (measured 8.7 -> 10.3 s at 10x before this
+    # condition; 10.3 -> 8.4 s with it).
     e = tracked_persist(
-        doc_shingles(docs, n) if exploded is None else exploded
+        doc_shingles(docs, n).repartition("shingle")
+        if exploded is None
+        else exploded
     )
     if max_df is not None or max_df_frac is not None:
         df_counts = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))

@@ -142,8 +142,18 @@ def ngram_jaccard_pairs(
             )
         # anti-join the HOT set (small by construction — only shingles
         # above the cap); broadcasting the kept set would ship nearly
-        # the whole vocabulary to every executor.
-        e = e.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+        # the whole vocabulary to every executor. The hot set is
+        # persisted: the anti-join result feeds BOTH self-join sides,
+        # and without the persist each side re-runs the df-count
+        # aggregate + corpus-count over the cached corpus (the AQE
+        # final plan showed the whole cap sub-plan duplicated per
+        # side); caching the tiny over-cap table dedupes that at the
+        # cost of a vocabulary-independent handful of rows.
+        e = e.join(
+            F.broadcast(tracked_persist(hot.select("shingle"))),
+            "shingle",
+            "left_anti",
+        )
     # Force a partitioned (shuffle-hash) self-join: Catalyst's size
     # estimate for exploded output is the pre-explode size, which makes
     # it broadcast the full shingle table — fatal at 100 TB. The equi key

@@ -328,3 +328,61 @@ def strip_accents_text(col: Column) -> Column:
         )
 
     return _strip(col)
+
+
+def winnow_fingerprint_rows(docs: DataFrame) -> DataFrame:
+    """Exploded winnowing fingerprints — (doc_id, n_fp, h) with one row
+    per selected hash — computed in an Arrow mapInPandas kernel.
+
+    Bit-identical to exploding :func:`winnow_fingerprints` (asserted in
+    tests/test_functions.py): md5 stays the gram hash because the
+    winnow MIN selects by hash ORDER, and md5 is the hash both engines
+    share — the DuckDB oracle must select the same fingerprints. What
+    moves to Python is the ALLOCATION: the JVM form materializes a
+    concat string + a 32-char hex string per gram and runs the window
+    mins / distinct / sort over strings (measured 13.4-13.6 s of
+    dedup_winnow_pairs' 17.5-19.8 s at 10x, r12 — the alloc-bound
+    explode trap again); here hashlib.md5 digests (16 bytes, C speed)
+    carry the comparisons and only the selected ~n_fp hex strings are
+    ever built. Per-batch bounded state; rows leave Python already
+    exploded, so no JVM array explode either.
+
+    Input must carry (doc_id, __tokens); docs shorter than 5 tokens
+    yield no rows (the callers' existing guard, applied here too so
+    the kernel is total)."""
+    import hashlib
+
+    import pandas as pd
+
+    def fps(batches):
+        for batch in batches:
+            out_doc: list = []
+            out_n: list = []
+            out_h: list = []
+            for doc_id, toks in zip(
+                batch["doc_id"].tolist(), batch["__tokens"].tolist()
+            ):
+                if toks is None or len(toks) < 5:
+                    continue
+                md5 = hashlib.md5
+                hs = [
+                    md5(
+                        (" ".join(toks[i : i + 3])).encode("utf-8")
+                    ).digest()
+                    for i in range(len(toks) - 2)
+                ]
+                sel = sorted({
+                    min(hs[i], hs[i + 1], hs[i + 2])
+                    for i in range(len(hs) - 2)
+                })
+                out_doc.extend([doc_id] * len(sel))
+                out_n.extend([len(sel)] * len(sel))
+                out_h.extend(d.hex() for d in sel)
+            if out_doc:
+                yield pd.DataFrame(
+                    {"doc_id": out_doc, "n_fp": out_n, "h": out_h}
+                )
+
+    return with_tokens(docs).select("doc_id", "__tokens").mapInPandas(
+        fps, schema="doc_id long, n_fp bigint, h string"
+    )

@@ -1268,19 +1268,21 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "dedup", "join"),
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gmall2021_flink_dw_spark.datapipe.text import winnow_fingerprints
+    from gmall2021_flink_dw_spark.datapipe.text import winnow_fingerprint_rows
 
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
-    t = F.col("__tokens")
-    fp = docs.filter(F.size(t) >= 5).select(
-        "doc_id", winnow_fingerprints(t).alias("fp")
-    )
+    ensure_workers_can_import(spark)
+    # Arrow winnow kernel (r12): the JVM form built a concat string + a
+    # 32-char md5 hex string per gram and ran the window mins over
+    # strings — 13.4-13.6 s of this query's 17.5-19.8 s at 10x; the
+    # kernel compares 16-byte digests and only materializes the
+    # selected hashes (bit-identical, pinned in tests/test_functions.py).
+    # persisted co-partitioned on the join key (the jaccard inverted-
+    # index pattern): the df-count groupBy and both self-join sides
+    # read co-located cache blocks exchange-free in the AQE final plan.
     e = tracked_persist(
-        fp.select(
-            "doc_id",
-            F.size("fp").cast("bigint").alias("n_fp"),
-            F.explode("fp").alias("h"),
-        )
+        winnow_fingerprint_rows(
+            load_table(spark, sf_dir, "documents")
+        ).repartition("h")
     )
     # Relative df cap, action-free (the ngram_jaccard_pairs pattern):
     # corpus size as a lazy 1-row broadcast agg, HOT hashes (small by
@@ -1291,7 +1293,11 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__df")
         > F.greatest(F.lit(5), F.ceil(F.lit(0.01) * F.col("__n")))
     )
-    ec = e.join(F.broadcast(hot.select("h")), "h", "left_anti")
+    # hot set persisted: the anti-join result feeds both self-join
+    # sides; without it the cap sub-plan runs once per side.
+    ec = e.join(
+        F.broadcast(tracked_persist(hot.select("h"))), "h", "left_anti"
+    )
     # Partitioned self-join on the hash (shuffle_hash: Catalyst's size
     # estimate for exploded output under-counts and would broadcast the
     # whole index — the same trap ngram_jaccard_pairs documents).

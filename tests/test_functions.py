@@ -442,3 +442,56 @@ def test_bigram_and_winnow_guards_on_short_docs(spark):
     # positions, <= 3 distinct selected hashes
     seven = [r for r in out if r.n == 7][0]
     assert 1 <= seven.n_fp <= 3
+
+
+def test_winnow_kernel_matches_jvm_form(spark):
+    """The r12 Arrow winnow kernel (winnow_fingerprint_rows) must be
+    bit-identical to exploding the JVM winnow_fingerprints form — same
+    md5 gram hash (the engine-portable one the DuckDB oracles select
+    by), same window mins, same distinct+sort, same short-doc guard —
+    across multibyte tokens, heavy repetition (distinct collapses), and
+    docs at/below the 5-token boundary."""
+    from pyspark.sql import functions as F
+
+    from gmall2021_flink_dw_spark.datapipe.text import (
+        winnow_fingerprint_rows,
+        winnow_fingerprints,
+        with_tokens,
+    )
+    from gmall2021_flink_dw_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b c d e",
+        "a b c d",            # below guard: no rows
+        "x x x x x x x x x",  # repetition: distinct collapses
+        "中文 词 one two three four five",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    kernel = {
+        (r.doc_id, r.n_fp, r.h)
+        for r in winnow_fingerprint_rows(docs).collect()
+    }
+    t = F.col("__tokens")
+    jvm = {
+        (r.doc_id, r.n_fp, r.h)
+        for r in with_tokens(docs)
+        .filter(F.size(t) >= 5)
+        # per-row guard: projection collapse may evaluate the winnow
+        # expression before the filter (see the short-doc guard test)
+        .select(
+            "doc_id",
+            F.when(F.size(t) >= 5, winnow_fingerprints(t)).alias("fp"),
+        )
+        .select(
+            "doc_id",
+            F.size("fp").cast("bigint").alias("n_fp"),
+            F.explode("fp").alias("h"),
+        )
+        .collect()
+    }
+    assert kernel == jvm and len(kernel) > 0

@@ -365,14 +365,20 @@ def main() -> None:
                 # stalls push even a 1.4s query past 2s on its first
                 # execution, which is precisely why these floors keep
                 # inverting), falling back to pass-1 time on a first
-                # run at this sf.
+                # run at this sf. min-of-6, not min-of-3: solo re-times
+                # of kernel-bearing sub-2s queries converge to the
+                # warm steady state only around rep 3-5 (measured
+                # 1.30/1.28/1.36/1.17/1.16/1.12 for sample_dsir at
+                # sf0.1 — min-of-3 lands ~10-50% above the in-suite
+                # pass; the extra reps cost single-digit seconds and
+                # only for pinned fast queries).
                 known = min(
                     prior_mins.get(name, float("inf")),
                     times.get(name, float("inf")),
                 )
                 if name in times and known < EARLY_FLOOR_MAX_SEC:
                     best = float("inf")
-                    for _ in range(3):
+                    for _ in range(6):
                         t0 = time.perf_counter()
                         registry[name].fn(spark, sf_dir).write.format(
                             "noop"

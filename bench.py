@@ -321,11 +321,14 @@ def main() -> None:
     # saturates the box, so any co-running JVM inflates a single pass
     # 2-4x (documented in BASELINE.md).
     # prior committed per-query mins, loaded BEFORE the passes: the
-    # early-floor gate and the 2x floor-selection rule both read them
-    # (only comparable at the same scale factor — a dev run at sf0.01
-    # must not poison floor selection for the sf0.1 run).
+    # early-floor gate and the 2x floor-selection rule both read them.
+    # The prior is the SAME-SF artifact (r12: the sf1.0 run used to
+    # read the sf0.1-only BENCH_FULL.json, get nothing, and leave its
+    # 2x rule inert — two drifted 10x queries shipped with no floor);
+    # the sf check stays as a belt-and-suspenders guard.
+    prior_name = "BENCH_FULL.json" if sf == 0.1 else f"BENCH_FULL_sf{sf}.json"
     prior_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        os.path.dirname(os.path.abspath(__file__)), prior_name
     )
     prior_mins: dict[str, float] = {}
     try:

@@ -2770,6 +2770,11 @@ _NGRAM = 3  # Gopher-style duplicate-n-gram rule size
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
     t = F.col("__tokens")
+    # int64 n-gram identities (r12): the counts only need gram IDENTITY
+    # (per-doc occurrence counting), so hash the _NGRAM tokens directly
+    # with multi-arg xxhash64 instead of building an array_join string
+    # per position — the dedup family's alloc-trap fix (see
+    # text.py::shingle_hashes; same collision contract, here per-doc).
     grams = (
         docs.filter(F.size(t) >= _NGRAM)
         .select(
@@ -2777,7 +2782,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size(t) - _NGRAM + 1),
-                    lambda i: F.array_join(F.slice(t, i, _NGRAM), " "),
+                    lambda i: F.xxhash64(
+                        *[F.element_at(t, i + j) for j in range(_NGRAM)]
+                    ),
                 )
             ).alias("g"),
         )
@@ -2955,13 +2962,20 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "text", "agg", "join"),
 )
 def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gmall2021_flink_dw_spark.datapipe.text import shingles
+    from gmall2021_flink_dw_spark.datapipe.text import shingle_hashes
 
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
     t = F.col("__tokens")
+    # int64 shingle identities (r12): this report only counts and joins
+    # shingles, never prints them, so the dedup family's hashed form
+    # applies — no 3-gram string is ever built (the string explode +
+    # distinct was this query's dominant cost at 10x; see
+    # text.py::shingle_hashes for the numbers and collision contract).
+    # The distinct lands on the (source, shingle) shuffle the plan
+    # needs anyway; repartitioning on shingle here would misalign it.
     sg = tracked_persist(
         docs.filter(F.size(t) >= 3)
-        .select("source", F.explode(shingles(t, 3)).alias("shingle"))
+        .select("source", F.explode(shingle_hashes(t, 3)).alias("shingle"))
         .dropDuplicates(["source", "shingle"])
     )
     spread = sg.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_sources"))

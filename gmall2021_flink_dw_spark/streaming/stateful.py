@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,6 +42,26 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_S = 1800
 JUMP_TIMEOUT_S = 600
+
+
+def _sorted_key_batch(
+    pdfs: Iterator[pd.DataFrame], extra: tuple[str, ...] = ()
+) -> tuple:
+    """Concat a key's Arrow chunks and sort by (ts_us, event_id),
+    returning int64 numpy arrays (ts, ev, *extra columns). Chunks are
+    arbitrary slices in arbitrary order (the `pdfs` iterator contract),
+    so concat-then-sort is required before any order-dependent logic.
+    numpy lexsort on the int64 columns instead of DataFrame.sort_values:
+    at one-replayed-micro-batch scale the state function runs once per
+    key, and sort_values' per-call overhead was 44% of the whole
+    query's Python time (profiled r12, 15k keys at 10x)."""
+    chunks = list(pdfs)
+    rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+    ts = rows["ts_us"].to_numpy(np.int64)
+    ev = rows["event_id"].to_numpy(np.int64)
+    order = np.lexsort((ev, ts))
+    cols = tuple(rows[c].to_numpy()[order] for c in extra)
+    return (ts[order], ev[order], *cols)
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -86,26 +107,38 @@ def _jump_fn(
             yield pd.DataFrame(out, columns=["user_id", "event_id", "ts_us"])
         return
 
-    rows = pd.concat(list(pdfs))
-    rows = rows.sort_values(["ts_us", "event_id"])
+    ts, ev = _sorted_key_batch(pdfs)
 
-    # Python row loop, deliberately: an ordered state-machine transition
-    # per event cannot vectorize, and the iteration count is bounded by
-    # ONE KEY's rows in ONE micro-batch (a handful at any realistic
-    # per-user event rate) — not by partition or corpus size. Chunking/
-    # multi-batch behavior is property-tested in
-    # tests/test_state_machines.py.
-    for ev_id, ts_us in zip(rows["event_id"], rows["ts_us"]):
-        ts_us = int(ts_us)
-        ev_id = int(ev_id)
+    # Vectorized state-machine transition (was a per-row Python loop; at
+    # one-micro-batch replay scale the per-group pandas overhead was 44%
+    # sort + 28% output-ctor of the whole query's Python time — profiled
+    # r12). The loop's recurrence flattens because `pend` never survives
+    # past the NEXT event: an entry at i either bounces (successor gap >
+    # timeout) or is discarded at i+1, so in-batch bounces = entries
+    # whose successor gap exceeds the timeout; only the LAST row's entry
+    # state carries out of the batch. Chunking/multi-batch equivalence
+    # is property-tested in tests/test_state_machines.py.
+    if len(ts):
+        # prev gap: carry-in last_us for row 0 (None -> always an entry)
+        prev = np.empty(len(ts), dtype=np.int64)
+        prev[1:] = ts[:-1]
+        prev[0] = last_us if last_us is not None else ts[0] - gap_us - 1
+        is_entry = (ts - prev) > gap_us
+        # carry-in pending from the previous batch: checked against the
+        # first event of this batch, then cleared either way
         if pend_us is not None:
-            if ts_us - pend_us > timeout_us:
-                out.append((user_id, pend_event, pend_us))  # timeout bounce
+            if int(ts[0]) - pend_us > timeout_us:
+                out.append((user_id, pend_event, pend_us))
             pend_us, pend_event = None, None
-        is_entry = last_us is None or ts_us - last_us > gap_us
-        if is_entry:
-            pend_us, pend_event = ts_us, ev_id
-        last_us = ts_us
+        # in-batch bounces: entry rows (except the last) whose successor
+        # arrives later than the jump timeout
+        if len(ts) > 1:
+            bounce = is_entry[:-1] & ((ts[1:] - ts[:-1]) > timeout_us)
+            for i in np.flatnonzero(bounce):
+                out.append((user_id, int(ev[i]), int(ts[i])))
+        if is_entry[-1]:
+            pend_us, pend_event = int(ts[-1]), int(ev[-1])
+        last_us = int(ts[-1])
 
     state.update((last_us, pend_us, pend_event))
     if pend_us is not None:
@@ -136,16 +169,22 @@ def _new_user_fn(
     by (ts, event_id) so replay matches the batch min-struct oracle."""
     seen = state.get[0] if state.exists else False
     user_id = key[0]
-    out: list[tuple[int, int, int, str]] = []
     # concat BEFORE sorting: a key's rows may span multiple Arrow chunks,
     # and per-chunk sorting would misplace the first-ever event
-    rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
-    for ev_id, ts_us in zip(rows["event_id"], rows["ts_us"]):
-        flag = "0" if seen else "1"
-        seen = True
-        out.append((user_id, int(ev_id), int(ts_us), flag))
+    ts, ev = _sorted_key_batch(pdfs)
+    # vectorized: every row emits; only the first-ever row is '1'
+    flags = np.full(len(ts), "0", dtype=object)
+    if not seen and len(ts):
+        flags[0] = "1"
     state.update((True,))
-    yield pd.DataFrame(out, columns=["user_id", "event_id", "ts_us", "is_new"])
+    yield pd.DataFrame(
+        {
+            "user_id": np.full(len(ts), user_id, dtype=np.int64),
+            "event_id": ev,
+            "ts_us": ts,
+            "is_new": flags,
+        }
+    )
 
 
 _DAY_US = 86_400 * 1_000_000
@@ -174,36 +213,38 @@ def _uv_ttl_fn(
     when the value can no longer affect emission (any later event is a
     different day and emits regardless). Keeps streaming state O(active
     keys within 24 h), not O(all keys ever)."""
-    import datetime as _dt
-
     if state.hasTimedOut:
         # TTL expiry: watermark passed the stored day's end — drop state.
         state.remove()
         return
 
-    day = state.get[0] if state.exists else None
+    day0 = state.get[0] if state.exists else None
     user_id = key[0]
-    out: list[tuple[int, str, int, int, str]] = []
-    rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
-    # per-key-per-batch row loop: bounded like _jump_fn's (see comment
-    # there); day-transition logic is order-dependent by design
-    for ev_id, ts_us, ev_type in zip(
-        rows["event_id"], rows["ts_us"], rows["event_type"]
-    ):
-        ts_us = int(ts_us)
-        d = ts_us - ts_us % _DAY_US
-        if day is None or d != day:
-            dt_str = _dt.datetime.fromtimestamp(
-                d // 1_000_000, tz=_dt.timezone.utc
-            ).strftime("%Y-%m-%d")
-            out.append((user_id, dt_str, int(ev_id), ts_us, str(ev_type)))
-            day = d
-    state.update((day,))
+    ts, ev, et = _sorted_key_batch(pdfs, ("event_type",))
+    # Vectorized day-transition (was a per-row loop; same profiling
+    # motivation as _jump_fn). After the sort, the UTC day is monotone
+    # non-decreasing within the batch, so the loop's "emit when d !=
+    # current day" rule reduces to: emit the first row of each distinct-
+    # day run, except a first run equal to the carried-in state day.
+    # Consecutive runs always differ, so no other run can be suppressed.
+    d = ts - ts % _DAY_US
+    emit = np.empty(len(d), dtype=bool)
+    emit[0] = day0 is None or int(d[0]) != day0
+    emit[1:] = d[1:] != d[:-1]
+    idx = np.flatnonzero(emit)
+    state.update((int(d[-1]),))
     # event-time TTL: clear once the watermark passes the day's end
-    state.setTimeoutTimestamp((day + _DAY_US) // 1000)
-    if out:
+    state.setTimeoutTimestamp((int(d[-1]) + _DAY_US) // 1000)
+    if len(idx):
+        d_emit = d[idx]
         yield pd.DataFrame(
-            out, columns=["user_id", "dt", "event_id", "ts_us", "event_type"]
+            {
+                "user_id": np.full(len(idx), user_id, dtype=np.int64),
+                "dt": (d_emit // _DAY_US).astype("datetime64[D]").astype(str),
+                "event_id": ev[idx],
+                "ts_us": ts[idx],
+                "event_type": et[idx],
+            }
         )
 
 

@@ -2625,14 +2625,30 @@ def boilerplate_stats(docs: DataFrame) -> DataFrame:
     (a chunk present in EVERY doc is the worst-case skew key)."""
     t = docs.filter(F.size("__tokens") >= _CHUNK).select("doc_id", "__tokens")
     n_chunks = F.floor(F.size("__tokens") / _CHUNK).cast("int")
-    chunk_at = lambda i: F.md5(  # noqa: E731
-        F.array_join(F.slice("__tokens", i * _CHUNK + 1, _CHUNK), " ")
+    # Hashed chunk identity (the r12 novelty/repetition pattern): the
+    # chunk hash never leaves the query — freq-count and join need only
+    # WITHIN-ENGINE identity — so xxhash64 over the 5-token slice (array
+    # hashing is length-delimited per element) replaces the alloc-bound
+    # md5(array_join(...)) string build. 64-bit collisions over corpus
+    # chunk counts are birthday-negligible and would only perturb a
+    # ratio, not dedup selection.
+    chunk_at = lambda i: F.xxhash64(  # noqa: E731
+        F.slice("__tokens", i * _CHUNK + 1, _CHUNK)
     )
-    chunks = t.select(
-        "doc_id",
-        F.explode(
-            F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk_at)
-        ).alias("h"),
+    # persisted + pre-partitioned on the join key: chunks has TWO
+    # consumers (the freq build and the join back), so without the
+    # persist the tokenize+hash+explode runs twice; repartition("h")
+    # makes the (h, doc_id) pre-agg, the h roll-up AND both join sides
+    # exchange-free (HashPartitioning(h) satisfies every clustering
+    # requirement downstream until the final doc_id grain). Measured
+    # 5.49 -> 0.90 s solo at 10x (BASELINE r12).
+    chunks = tracked_persist(
+        t.select(
+            "doc_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk_at)
+            ).alias("h"),
+        ).repartition("h")
     )
     # count(DISTINCT doc_id) per hash via two-phase pre-agg: the
     # (h, doc_id) grain is exact and avoids Expand

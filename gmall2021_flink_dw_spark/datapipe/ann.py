@@ -283,18 +283,23 @@ def bucketed_cosine_pairs(
     return pairs.groupBy("vec_a", "vec_b").agg(F.first("sim").alias("sim"))
 
 
-def _cosine_tile(threshold: float, strip: int = 4096):
+def _cosine_tile(threshold: float, strip: int | None = None):
     """Per-group GEMM kernel shared by the bucketed (LSH) and clustered
     (SemDeDup) pair builders: BLAS matmul over the group's vectors,
     threshold applied before anything leaves the worker, i<j pairs only.
 
-    The matmul runs in `strip`-row strips so peak memory is
-    strip * group_size doubles, not group_size^2 — an oversized group
-    (a hot LSH bucket, or a SemDeDup cluster when n_clusters lags the
-    corpus growth) degrades to more strips instead of an executor OOM
-    (a 500k-doc group at fixed k=16 materialized a ~31 GB sims matrix
-    before this; the n_clusters knob still governs COMPUTE — see
-    clustered_cosine_pairs — strips only bound MEMORY)."""
+    The matmul runs in row strips so peak memory is strip * group_size
+    doubles, not group_size^2 — an oversized group (a hot LSH bucket,
+    or a SemDeDup cluster when n_clusters lags the corpus growth)
+    degrades to more strips instead of an executor OOM (a 500k-doc
+    group at fixed k=16 materialized a ~31 GB sims matrix before this;
+    the n_clusters knob still governs COMPUTE — see
+    clustered_cosine_pairs — strips only bound MEMORY). The strip is
+    sized ADAPTIVELY to the group width (~64 MB of sims per strip,
+    r12-ext): a fixed row count re-introduces the OOM one decade later
+    because strip memory is strip * GROUP_SIZE — 4096 rows against a
+    500k-wide group is a 16 GB strip. An explicit `strip` overrides
+    (tests pin chunking invariance with it)."""
     import numpy as np
     import pandas as pd
 
@@ -310,8 +315,9 @@ def _cosine_tile(threshold: float, strip: int = 4096):
         na = np.sqrt((ea * ea).sum(axis=1))
         ids = pdf["vec_id"].to_numpy()
         outs = []
-        for s in range(0, len(ea), strip):
-            e = slice(s, s + strip)
+        step = strip if strip else max(1, (64 << 20) // (8 * len(ea)))
+        for s in range(0, len(ea), step):
+            e = slice(s, s + step)
             sims = (ea[e] @ ea.T) / np.outer(na[e], na)
             ia, ib = np.nonzero(sims >= threshold)
             keep = ids[e][ia] < ids[ib]
@@ -519,11 +525,28 @@ def blocked_cosine_pairs(
         )
         na = np.sqrt((ea * ea).sum(axis=1))
         nb = na if hi == lo else np.sqrt((eb * eb).sum(axis=1))
-        sims = (ea @ eb.T) / np.outer(na, nb)
         va = a["vec_id"].to_numpy()
         vb = b["vec_id"].to_numpy()
-        ia, ib = np.nonzero(sims >= threshold)
-        left, right, s = va[ia], vb[ib], sims[ia, ib]
+        # STRIP the GEMM: a dense (n/B)^2 tile grows quadratically with
+        # the corpus under a fixed block count — at 100x (25k-row
+        # blocks) the full sim matrix is 5 GB/float64 per task and the
+        # OS OOM-killer takes out the Python workers (measured r12-ext;
+        # the skill's bound-the-kernel rule). Chunk rows of `a` so each
+        # strip's sim matrix stays <= ~64 MB: identical FLOPs and
+        # output, bounded memory — oversize groups degrade to more
+        # strips, never to OOM.
+        strip = max(1, (64 << 20) // (8 * max(1, len(eb))))
+        parts_l, parts_r, parts_s = [], [], []
+        for s0 in range(0, len(ea), strip):
+            s1 = min(s0 + strip, len(ea))
+            sims = (ea[s0:s1] @ eb.T) / np.outer(na[s0:s1], nb)
+            ia, ib = np.nonzero(sims >= threshold)
+            parts_l.append(va[s0 + ia])
+            parts_r.append(vb[ib])
+            parts_s.append(sims[ia, ib])
+        left = np.concatenate(parts_l)
+        right = np.concatenate(parts_r)
+        s = np.concatenate(parts_s)
         if hi == lo:
             # diagonal tile enumerates the full square: each unordered
             # pair appears twice — keep the (a<b) orientation

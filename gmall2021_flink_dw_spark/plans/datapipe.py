@@ -3321,18 +3321,29 @@ def dedup_substring_clean_keepfirst(
     return remove_duplicate_spans_keepfirst(docs, min_len=50)
 
 
+_SCRATCH_DIRS: list[str] = []
+
+
 def _scratch_dir(prefix: str) -> str:
-    """mkdtemp with an atexit rmtree hook. Every round-trip /
-    maintenance query writes a corpus-sized scratch tree; without the
-    reclaim hook a long bench session leaks temp disk per invocation
-    (ADVICE r09) — same lifecycle the streaming replay dirs already
-    use (_HH_STREAM_DIRS / dedup_stream)."""
+    """mkdtemp reclaimed at the NEXT _scratch_dir call (plus an atexit
+    hook for the last one). atexit alone (the ADVICE r09 fix) is not
+    enough at scale: a two-pass 100x suite accumulates every round-trip
+    query's corpus-sized scratch tree until process exit and filled the
+    disk mid-pass-2 (measured r12-ext — 'No space left on device' in
+    the first full-suite 100x attempt). Same consume-before-next
+    contract as _CDC_STREAM_DIRS: the returned DataFrame reads its
+    scratch lazily, and bench/driver/tests consume each result before
+    invoking the next scratch-writing query."""
     import atexit
     import shutil
     import tempfile
     import uuid
 
+    for stale in list(_SCRATCH_DIRS):
+        shutil.rmtree(stale, ignore_errors=True)
+        _SCRATCH_DIRS.remove(stale)
     base = tempfile.mkdtemp(prefix=f"{prefix}_{uuid.uuid4().hex[:8]}_")
+    _SCRATCH_DIRS.append(base)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     return base
 

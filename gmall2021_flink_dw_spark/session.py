@@ -81,6 +81,13 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # Shuffle files are reclaimed by the ContextCleaner only when
+        # the driver GCs the RDDs that own them; with a 48g heap a long
+        # suite barely GCs and dead shuffle files accumulate on local
+        # disk (the default periodic-GC safety net is 30min — a 2-pass
+        # 100x suite filled the disk mid-run before this, r12-ext).
+        # 5min keeps the backlog bounded at a negligible GC cost.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         # parquet TIMESTAMP (isAdjustedToUTC=false) -> TIMESTAMP_NTZ, matching
         # DuckDB's naive reading of the driver-generated testdata.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")

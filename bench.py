@@ -346,6 +346,16 @@ def main() -> None:
     for _pass in range(3):
         for name in run_list:
             t0 = time.perf_counter()
+            # stderr progress marker (stdout stays clean for the JSON
+            # contract): ties failures/disk spikes in long scale runs
+            # to the query that caused them — the 100x ENOSPC hunts
+            # (r12-ext) had only stage numbers to go on without this.
+            print(
+                f"[bench] pass={_pass} {name} "
+                f"t={time.perf_counter() - session_t0:.1f}s",
+                file=sys.stderr,
+                flush=True,
+            )
             registry[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()

@@ -42,6 +42,18 @@ LSH_ROWS = 4  # NUM_PERM = LSH_BANDS * LSH_ROWS
 # Fixed (a, b) parameters for the 32 universal-hash permutations,
 # generated once from a pinned seed so signatures are stable across runs.
 _rng = random.Random(20240813)
+
+# Absolute ceiling on the RELATIVE df cap (r12-ext): a fractional cap
+# alone (keep shingles with df <= frac*n) leaves the inverted-index
+# self-join fan-out Sum(df^2) <= n_keys * (frac*n)^2 — QUADRATIC in the
+# corpus. At 100x (500k docs, cap 5000) dedup_winnow_pairs' pair stage
+# spilled ~70 GB of shuffle and filled the disk. The ceiling pins the
+# per-key fan-out at its 10x level: ceil(0.01*n) at sf0.01/0.1/10x is
+# 5/50/500, all <= the ceiling, so every measured result is unchanged;
+# above 10x the cap stops growing — the standard production contract
+# (MinHashLSH/ExactSubstr pipelines cap df absolutely, not
+# fractionally). The matching DuckDB oracles interpolate this constant.
+DF_CAP_CEIL = 500
 PERM_PARAMS = [
     (_rng.randrange(1, 1 << 30), _rng.randrange(0, 1 << 30))
     for _ in range(NUM_PERM)
@@ -130,14 +142,19 @@ def ngram_jaccard_pairs(
         if max_df is not None:
             hot = df_counts.filter(F.col("__df") > max_df)
         else:
-            # relative cap: greatest(df_floor, ceil(frac * n_docs)),
-            # n_docs computed lazily (1-row agg, broadcast) so the
-            # builder stays action-free.
+            # relative cap: greatest(df_floor, least(ceil(frac * n_docs),
+            # DF_CAP_CEIL)) — the absolute ceiling bounds the self-join
+            # fan-out (see DF_CAP_CEIL); n_docs computed lazily (1-row
+            # agg, broadcast) so the builder stays action-free.
             total = e.agg(F.count_distinct("doc_id").alias("__n"))
             hot = df_counts.crossJoin(F.broadcast(total)).filter(
                 F.col("__df")
                 > F.greatest(
-                    F.lit(df_floor), F.ceil(F.lit(max_df_frac) * F.col("__n"))
+                    F.lit(df_floor),
+                    F.least(
+                        F.ceil(F.lit(max_df_frac) * F.col("__n")),
+                        F.lit(DF_CAP_CEIL),
+                    ),
                 )
             )
         # anti-join the HOT set (small by construction — only shingles

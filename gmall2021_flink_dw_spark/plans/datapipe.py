@@ -23,6 +23,7 @@ from gmall2021_flink_dw_spark.datapipe.ann import (
     bucketed_topk,
 )
 from gmall2021_flink_dw_spark.datapipe.dedup import (
+    DF_CAP_CEIL,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -136,8 +137,9 @@ _SHINGLE_CTES = f"""g AS (
       SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS shingle FROM g
     ), hot AS (
       SELECT shingle FROM e0 GROUP BY shingle
-      HAVING count(*) > greatest(5,
-             ceil(0.01 * (SELECT count(DISTINCT doc_id) FROM e0)))
+      HAVING count(*) > greatest(5, least(
+             ceil(0.01 * (SELECT count(DISTINCT doc_id) FROM e0)),
+             {DF_CAP_CEIL}))
     ), e AS (
       SELECT e0.* FROM e0 ANTI JOIN hot USING (shingle)
     )"""
@@ -1242,8 +1244,9 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     capped AS (
       SELECT h FROM e GROUP BY h
-      HAVING count(*) <= greatest(5,
-             ceil(0.01 * (SELECT count(DISTINCT doc_id) FROM e)))
+      HAVING count(*) <= greatest(5, least(
+             ceil(0.01 * (SELECT count(DISTINCT doc_id) FROM e)),
+             {DF_CAP_CEIL}))
     ),
     ec AS (SELECT e.* FROM e JOIN capped USING (h))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1291,7 +1294,12 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = e.agg(F.count_distinct("doc_id").alias("__n"))
     hot = df_counts.crossJoin(F.broadcast(total)).filter(
         F.col("__df")
-        > F.greatest(F.lit(5), F.ceil(F.lit(0.01) * F.col("__n")))
+        > F.greatest(
+            F.lit(5),
+            F.least(
+                F.ceil(F.lit(0.01) * F.col("__n")), F.lit(DF_CAP_CEIL)
+            ),
+        )
     )
     # hot set persisted: the anti-join result feeds both self-join
     # sides; without it the cap sub-plan runs once per side.

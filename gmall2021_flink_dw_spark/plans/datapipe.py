@@ -12,7 +12,7 @@ per-method recall bounds stay in tests/test_datapipe.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall2021_flink_dw_spark.cache import tracked_persist
@@ -42,6 +42,7 @@ from gmall2021_flink_dw_spark.datapipe.text import (
     duck_marker_hits,
     duck_predict_lang,
     duck_shingles,
+    let,
     marker_hits,
     max_token_repetition,
     predict_lang,
@@ -1607,14 +1608,25 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
     t = F.col("__tokens")
-    n_tok = F.size(t)
-    uniq = F.size(F.array_distinct(t))
-    max_rep = max_token_repetition(t)
-    quality = docs.filter(
-        (n_tok >= 10)
-        & (uniq.cast("double") / n_tok >= 0.3)
-        & (max_rep.cast("double") / n_tok <= 0.2)
-    )
+
+    def quality_gate(tt: Column) -> Column:
+        n = F.size(tt)
+        return (
+            (n >= 10)
+            & (F.size(F.array_distinct(tt)).cast("double") / n >= 0.3)
+            & (max_token_repetition(tt).cast("double") / n <= 0.2)
+        )
+
+    # let-binds the gate so the predicate pushed into the scan carries
+    # ONE tokenizer evaluation; measured 5.2 -> 4.2 s at 10x
+    # (r12-ext2). The outputs stay AFTER the dedup window — the
+    # narrow-rows-before-the-window variant (fp/lang/n_tokens computed
+    # pre-exchange) measured 12.9 s, 2.5x WORSE: fusing predict_lang's
+    # interpreted transform into the scan/filter stage defeats the
+    # stage's codegen CSE, which costs far more than shuffling the
+    # token arrays saves at this row width (measured negative,
+    # BASELINE r12-ext2).
+    quality = docs.filter(let(t, quality_gate))
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     return (
         quality.withColumn("__rn", F.row_number().over(w))
@@ -1622,7 +1634,7 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             predict_lang(t).alias("predicted_lang"),
-            n_tok.cast("bigint").alias("n_tokens"),
+            F.size(t).cast("bigint").alias("n_tokens"),
         )
     )
 

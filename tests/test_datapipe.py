@@ -1224,3 +1224,100 @@ def test_fit_bigram_model_guard_fires_before_collect(spark, monkeypatch):
     ensure_workers_can_import(spark)
     cb, cu, v = bigram_lm.fit_bigram_model(docs)
     assert v == 4 and cb[("b", "c")] == 2 and cu["b"] == 2
+
+
+def test_brute_force_kernel_bit_parity(spark):
+    """The r12 Arrow brute-force kernel carries a BIT-PARITY contract:
+    its dimension-ordered multiply-add accumulation must reproduce the
+    interpreted zip_with/aggregate fold EXACTLY (the `sim` column is an
+    oracle-hashed output in all four ANN queries). Re-derive the fold
+    form inline and assert raw-double equality pair for pair."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gmall2021_flink_dw_spark.datapipe.ann import (
+        _dot,
+        brute_force_topk,
+        norm,
+    )
+
+    base, queries = _emb_base_queries(spark)
+    kernel = brute_force_topk(base, queries, k=7).toPandas()
+
+    b = base.withColumn("__bn", norm(F.col("emb")))
+    q = queries.withColumn("__qn", norm(F.col("q_emb")))
+    pairs = b.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = pairs.withColumn(
+        "sim",
+        _dot(F.col("emb"), F.col("q_emb")) / (F.col("__bn") * F.col("__qn")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    fold = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+        .select("q_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+        .toPandas()
+    )
+    k = kernel.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    f = fold.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert len(k) == len(f) > 0
+    assert (k.q_id == f.q_id).all() and (k.vec_id == f.vec_id).all()
+    # exact double equality, not approx — the parity contract
+    assert (k.sim == f.sim).all()
+
+
+def test_ann_query_cap_raises(spark):
+    """The bounded-collect cap on the ANN kernels' query side must fail
+    loudly BEFORE a corpus-sized query set reaches the driver."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gmall2021_flink_dw_spark.datapipe.ann import (
+        _MAX_ANN_QUERIES,
+        brute_force_topk,
+        pq_adc_topk,
+    )
+
+    base, _ = _emb_base_queries(spark)
+    # a "query set" bigger than the cap: replicate base rows via explode
+    mult = _MAX_ANN_QUERIES // base.count() + 2
+    big = base.withColumn(
+        "__i", F.explode(F.array(*[F.lit(i) for i in range(mult)]))
+    ).select(
+        (F.col("vec_id") * mult + F.col("__i")).alias("q_id"),
+        F.col("emb").alias("q_emb"),
+    )
+    with _pytest.raises(ValueError, match="bounded-collect cap"):
+        brute_force_topk(base, big, k=5)
+    with _pytest.raises(ValueError, match="bounded-collect cap"):
+        pq_adc_topk(base, big, k=5)
+
+
+def test_fit_pq_codebooks_small_sample(spark):
+    """Corpora smaller than n_codes must yield k0 real codes and park
+    the rest at the finite sentinel (never NaN/inf), and every real
+    centroid must be finite."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gmall2021_flink_dw_spark.datapipe.ann import (
+        _PQ_EMPTY_CODE,
+        _fit_pq_codebooks,
+        as_double,
+    )
+    from gmall2021_flink_dw_spark.sources.batch import load_table
+
+    emb = load_table(spark, ORACLE_SF, "embeddings")
+    tiny = emb.filter(F.col("vec_id") < 5).select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    cb = _fit_pq_codebooks(tiny, n_sub=8, sub_dim=8, n_codes=16)
+    assert cb.shape == (8, 16, 8)
+    assert np.isfinite(cb).all(), "parked codes must stay finite"
+    parked = (cb == _PQ_EMPTY_CODE).all(axis=2)
+    # at most 5 sample rows -> at least 11 parked codes per subspace
+    assert (parked.sum(axis=1) >= 11).all()
+    real = ~parked
+    assert (np.abs(cb[real]) < 1e6).all(), "real centroids are data-scaled"

@@ -287,40 +287,114 @@ def ivf_topk(
     closest lists.
 
     The coarse quantizer is a mini k-means trained on a deterministic
-    bounded sample (kmeans_centroids) — robust to clustered real data,
-    where a naive first-N init collapses lists onto one cluster. At
-    100 TB the list id is the partition/bucket key: a query touches
-    n_probe/n_lists of the data, and the per-list scan is an equi-join,
-    not a cross join. Recall vs brute force is asserted in tests.
+    bounded sample (kmeans_centroids, shared with the SemDeDup cluster
+    path — its DataFrame fit is untouched); the centroid table is a
+    bounded fit artifact (<= n_lists rows), so it collects to numpy and
+    assign + probe + score run in ONE Arrow mapInPandas pass over the
+    corpus (the r12-ext2 brute-force/PQ kernel layout): per batch,
+    vectors assign to their max-cosine list, each query scores only the
+    batch rows in its n_probe closest lists, and only per-batch top-k
+    per query leaves the worker. This replaced the r05 row form
+    (interpreted-fold crossJoin assign + groupBy on the vector id +
+    probe join + corpus-sized window input). At 100 TB the list id is
+    still the partition/bucket key — the kernel preserves the
+    n_probe/n_lists touched fraction per query. BIT-PARITY: member
+    sims accumulate in dimension order (brute_force_topk's contract),
+    so reported sims equal the brute-force sims for the same pairs.
+    Recall vs brute force is asserted in tests.
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
     b = base.withColumn("__vn", norm(F.col("emb")))
-    q = queries.withColumn("__vn", norm(F.col("q_emb")))
-    centroids = F.broadcast(kmeans_centroids(b, n_lists))
-    base_lists = ivf_assign(b, centroids, "vec_id", "emb", n_lists)
+    c_rows = kmeans_centroids(b, n_lists).collect()  # bounded: <= n_lists
+    c_ids = np.array([r["__c_id"] for r in c_rows], dtype=np.int64)
+    c_e = np.array([r["__c_emb"] for r in c_rows], dtype=np.float64)
+    c_n = np.array([r["__c_n"] for r in c_rows], dtype=np.float64)
 
-    # per query: rank all centroids, keep the n_probe closest
-    q_scored = q.crossJoin(centroids).withColumn(
-        "__csim",
-        _dot(F.col("q_emb"), F.col("__c_emb")) / (F.col("__vn") * F.col("__c_n")),
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.desc("__csim"), F.asc("__c_id"))
-    q_probes = (
-        q_scored.withColumn("__pr", F.row_number().over(wq))
-        .filter(F.col("__pr") <= n_probe)
-        .select("q_id", "q_emb", F.col("__vn").alias("__qn"), F.col("__c_id").alias("__list"))
-    )
+    q_rows = queries.limit(_MAX_ANN_QUERIES + 1).collect()
+    if len(q_rows) > _MAX_ANN_QUERIES:
+        raise ValueError(
+            f"ivf_topk query set exceeds the bounded-collect cap "
+            f"({_MAX_ANN_QUERIES}); the query side must be a "
+            "broadcastable artifact, not a corpus"
+        )
+    q_ids = np.array([r["q_id"] for r in q_rows], dtype=np.int64)
+    q_e = np.array([r["q_emb"] for r in q_rows], dtype=np.float64)
+    n_q = len(q_ids)
 
-    pairs = base_lists.join(F.broadcast(q_probes), "__list").filter(
-        F.col("vec_id") != F.col("q_id")
-    )
-    scored = pairs.withColumn(
-        "sim", _dot(F.col("emb"), F.col("q_emb")) / (F.col("__vn") * F.col("__qn"))
+    def seq_sq_norms(m):
+        # dimension-ordered multiply-add accumulation — bit-identical
+        # to the SQL fold (see brute_force_topk); nested so the scan
+        # closure pickles by value (no package import on workers)
+        acc = np.zeros(len(m), dtype=np.float64)
+        for d in range(m.shape[1]):
+            acc += m[:, d] * m[:, d]
+        return np.sqrt(acc)
+
+    def seq_dots(m, v):
+        acc = np.zeros(len(m), dtype=np.float64)
+        for d in range(m.shape[1]):
+            acc += m[:, d] * v[d]
+        return acc
+
+    q_n = seq_sq_norms(q_e) if n_q else np.zeros(0)
+    # per query: the n_probe max-cosine lists (ties -> lowest c_id,
+    # matching the row form's (desc sim, asc c_id) window order)
+    probe_sets = []
+    for qi in range(n_q):
+        cs = seq_dots(c_e, q_e[qi]) / (q_n[qi] * c_n)
+        order = np.lexsort((c_ids, -cs))[:n_probe]
+        probe_sets.append(set(c_ids[order].tolist()))
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf) or not n_q:
+                continue
+            e = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["emb"]]
+            )
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            b_n = seq_sq_norms(e)
+            # assign: max-cosine centroid per vector (ties -> lowest
+            # c_id via lexsort-equivalent argmax on (-sim, c_id))
+            csims = np.empty((len(e), len(c_ids)), dtype=np.float64)
+            for ci in range(len(c_ids)):
+                csims[:, ci] = seq_dots(e, c_e[ci]) / (b_n * c_n[ci])
+            # argmax with lowest-c_id tie-break: c_rows come from the
+            # fit in arbitrary order, so sort columns by c_id once
+            col_order = np.argsort(c_ids, kind="stable")
+            lists = c_ids[col_order][
+                np.argmax(csims[:, col_order], axis=1)
+            ]
+            outs = []
+            for qi in range(n_q):
+                member = np.isin(lists, list(probe_sets[qi]))
+                member &= ids != q_ids[qi]
+                if not member.any():
+                    continue
+                em, idm, bnm = e[member], ids[member], b_n[member]
+                sim = seq_dots(em, q_e[qi]) / (bnm * q_n[qi])
+                top = np.lexsort((idm, -sim))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(len(top), q_ids[qi]),
+                            "vec_id": idm[top],
+                            "sim": sim[top],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    part_top = base.select("vec_id", "emb").mapInPandas(
+        scan, "q_id long, vec_id long, sim double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        part_top.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
     )

@@ -101,82 +101,83 @@ def register(
 # commit (VERDICT r04 item 1: the handover state must be green; the
 # forcing function moves to the start-of-round bump, asserted by
 # test_window_round_is_bumped).
-_WINDOW_ROUND = 12
+_WINDOW_ROUND = 13
 
-# r12 window (VERDICT r11 item 1): executes the rebuild pre-committed
-# at the end of r11. Census entering r12: 159 registered queries, so
-# the staleness bound derived by tests/test_catalog.py stays at
-# ceil(159/50) - 1 = 3 successful driver rounds. Effective round
-# sequence entering r12: [r1..r7, r9, r10, r11] (r08 crashed, zero
-# evidence, consumed no rotation capacity).
+# r13 window (VERDICT r12 item 1): executes the rebuild the r12 judge
+# mandated. Census entering r13: 159 registered queries; staleness
+# bound stays at ceil(159/50) - 1 = 3 successful driver rounds.
+# Effective round sequence entering r13: [r1..r7, r9, r10, r11, r12]
+# (r08 crashed, zero evidence, consumed no rotation capacity).
 #
-# Layout: (a) the three _PENDING_FIRST_WINDOW names from r11 — the
-# only registered queries with ZERO driver evidence — go first;
-# (b) the nine names whose newest driver row is r07 (effective
-# staleness 3 entering r12 — AT the bound; spilled from the r11
-# rebuild, pre-committed there to lead this one);
-# (c) the remaining 38 slots fill from the 47-name r09 cohort in
-# registration order. The 9 spilled r09 names — dws_session_window,
-# dws_salted_agg, tpch_q10_returns, tpch_q15_topsupplier,
-# tpch_q7_volume, dws_hopping_stats, dws_uv_sketch_rollup, tpch_q1,
-# tpch_q3 — sit at effective staleness 3 after r12 (exactly the
-# bound, still legal) and MUST lead the r13 rebuild.
+# Layout: (a) the nine names whose newest driver row is r09 —
+# effective staleness 3 entering r13, AT the bound (spilled from the
+# r12 rebuild, pre-committed there to lead this one); (b) the twenty
+# r12-REPLANNED queries whose newest driver CORRECTNESS row (r10/r11)
+# predates their current plans — the r12 window was built before the
+# round's replans landed, so the driver's own gate has never seen the
+# hashed-shingle dedups, the Arrow-kernel ANN scans, the
+# doc_token_counts family, or the vectorized stateful trio (oracle
+# parity covers them locally; this closes the driver-evidence gap);
+# (c) the remaining 21 slots fill from the 50-name r10 cohort in
+# registration order (4 of that cohort already sit in (b)). The 25
+# r10 names that don't fit — sample_leakage_free_split onward in
+# registration order — sit at effective staleness 3 after r13
+# (exactly the bound, still legal) and MUST lead the r14 rebuild.
 _DRIVER_WINDOW = (
-    # (a) zero driver evidence — pre-committed in r11's
-    # _PENDING_FIRST_WINDOW; front-loaded verbatim
-    "multimodal_decode_jpeg_ac",
-    "vocab_coverage",
-    "sample_weighted",
-    # (b) newest driver row r07 — at the staleness bound of 3
-    "dwd_clean_events",
-    "dwd_event_split_counts",
-    "dwd_new_user_flag",
-    "dwm_unique_visit",
-    "dws_event_measures",
-    "dws_order_quantiles_approx",
-    "dws_promo_window_stats",
-    "dws_province_stats",
-    "dws_sales_cube",
-    # (c) the r09 cohort, registration order; first 38 of 47 (the 9
-    # names listed in the header comment spill to r13 at staleness 3)
-    "multimodal_audio_features",
-    "multimodal_image_stats",
-    "dedup_substring_spans",
-    "dedup_substring_clean",
-    "dedup_substring_clean_keepfirst",
-    "source_jsonl_events",
-    "source_orc_events",
-    "source_csv_docs",
-    "text_normalize",
-    "shard_balance",
-    "source_schema_evolution",
-    "lake_compact_events",
-    "dws_event_pivot",
-    "ads_gmv_trailing_7d",
-    "source_variant_props",
-    "text_heavy_hitters",
-    "lake_zorder_layout",
-    "embedding_gram",
-    "cdc_incremental_agg",
-    "streaming_hopping_stats",
-    "streaming_topic_router",
-    "streaming_late_data_drop",
-    "streaming_dws_sink",
-    "streaming_gmv_dashboard",
-    "streaming_gmv_update_log",
-    "dws_keyword_stats_udf",
-    "dws_product_stats_approx",
-    "dws_visitor_stats_compat",
-    "kafka_wire_events",
-    "dwm_user_jump",
-    "dwm_session_stats",
-    "dwm_order_wide",
-    "dwm_order_wide_missdrop",
-    "dwm_payment_wide",
-    "ads_gmv_by_day",
-    "ads_top_brands",
-    "ads_top_types",
-    "ads_top_parts",
+    # (a) newest driver row r09 — at the staleness bound of 3
+    "dws_session_window",
+    "dws_salted_agg",
+    "tpch_q10_returns",
+    "tpch_q15_topsupplier",
+    "tpch_q7_volume",
+    "dws_hopping_stats",
+    "dws_uv_sketch_rollup",
+    "tpch_q1",
+    "tpch_q3",
+    # (b) r12-replanned: driver evidence predates the current plan
+    "ann_topk",
+    "ann_bucketed",
+    "ann_ivf",
+    "ann_pq",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_winnow_pairs",
+    "dedup_semantic",
+    "tfidf_top_terms",
+    "vocab_top_tokens",
+    "text_boilerplate",
+    "corpus_ngram_novelty",
+    "text_repetition",
+    "corpus_clean",
+    "streaming_uv_dedup",
+    "streaming_jump_detect",
+    "streaming_new_user_flag",
+    "streaming_cdc_upsert",
+    # (c) the r10 cohort, registration order; first 21 not already in
+    # (b) (the 25 spilled names lead the r14 rebuild)
+    "multimodal_decode_mixed",
+    "dedup_substring_spans_hashed",
+    "dedup_embedding_cosine",
+    "text_quality",
+    "doc_winnow_fingerprint",
+    "multimodal_frame_sample",
+    "text_redact",
+    "sample_stratified",
+    "corpus_contamination",
+    "pack_sequences",
+    "dedup_survivors_by_quality",
+    "multimodal_resize",
+    "text_token_counts",
+    "sample_training_mix",
+    "corpus_summary",
+    "corpus_train_pipeline",
+    "sample_mix_allocator",
+    "dedup_paragraphs",
+    "streaming_heavy_hitters",
+    "sample_dsir",
+    "embedding_pca_power",
 )
 
 # Queries registered AFTER the upcoming round's 50-slot window filled.

@@ -72,7 +72,14 @@ def brute_force_topk(
     and to the interpreted zip_with/aggregate form this replaced — the
     r12 kernel is a plan replan, not a semantics change (the fold form
     measured 2.0 s at 10x, ~all of it interpreted per-pair lambda
-    evaluation)."""
+    evaluation).
+
+    PRECONDITION (ADVICE r12): embeddings must have non-zero norm. A
+    zero-norm vector yields sim = 0/0 = NaN; this kernel drops
+    non-finite sims (np.isfinite) while Spark's and DuckDB's descending
+    ORDER BY rank NaN FIRST, so a zero-norm row would diverge from the
+    oracle. The testdata embeddings are random-gaussian (zero norm has
+    probability 0); at ingest, a norm > 0 filter restores the contract."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -309,6 +316,13 @@ def ivf_topk(
 
     b = base.withColumn("__vn", norm(F.col("emb")))
     c_rows = kmeans_centroids(b, n_lists).collect()  # bounded: <= n_lists
+    if not c_rows:
+        # empty/near-empty corpus: no centroids fit. Short-circuit to
+        # the empty result the lazy row form produced here, instead of
+        # letting seq_dots index a 0-d array on the driver (ADVICE r12).
+        return base.sparkSession.createDataFrame(
+            [], "q_id long, vec_id long, rank int, sim double"
+        )
     c_ids = np.array([r["__c_id"] for r in c_rows], dtype=np.int64)
     c_e = np.array([r["__c_emb"] for r in c_rows], dtype=np.float64)
     c_n = np.array([r["__c_n"] for r in c_rows], dtype=np.float64)
@@ -800,7 +814,15 @@ def pq_adc_topk(
     partial-agg shuffle): measured 4.9 s -> sub-second on 20k x 64
     at 10x. At 100 TB the kernel reads each vector once, emits a
     per-query constant per batch, and shuffles nothing corpus-sized —
-    the FAISS flat-PQ scan layout on Spark."""
+    the FAISS flat-PQ scan layout on Spark.
+
+    Encode tie-break note (ADVICE r12): nearest-code assignment uses
+    the expansion ||x||^2 + ||c||^2 - 2*x.c, whose rounding differs
+    from the exact sum((x-y)^2) fold of the r05 row form, so EXACT
+    distance ties near the boundary break on the expansion-formula
+    distances (argmin -> lowest code), not exact L2. Only recall_ok is
+    sensitive (measured 0.76 vs the 0.40 bound); oracle-hashed output
+    is unaffected."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -814,6 +836,14 @@ def pq_adc_topk(
             f"({_MAX_ANN_QUERIES}); ADC queries must be a broadcastable "
             "artifact, not a corpus"
         )
+    if not q_rows:
+        # empty query set (ADVICE r12 item 1): q_e would be a 1-D
+        # empty array (sum(axis=1) raises on the driver) and the scan's
+        # pd.concat([]) would raise on executors; the old DataFrame
+        # form returned an empty result — match it.
+        return base.sparkSession.createDataFrame(
+            [], "q_id long, vec_id long, rank int, sim double"
+        )
     q_ids = np.array([r["q_id"] for r in q_rows], dtype=np.int64)
     q_e = np.array([r["q_emb"] for r in q_rows], dtype=np.float64)
     n_q = len(q_ids)
@@ -825,7 +855,10 @@ def pq_adc_topk(
 
     def scan(batches):
         for pdf in batches:
-            if not len(pdf):
+            # `not n_q` guard (ADVICE r12): with an empty query set,
+            # outs stays [] and pd.concat([]) would raise on executors
+            # where the old DataFrame form returned an empty result.
+            if not len(pdf) or not n_q:
                 continue
             e = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["emb"]]

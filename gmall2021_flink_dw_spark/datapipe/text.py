@@ -412,6 +412,14 @@ def doc_token_counts(docs: DataFrame) -> DataFrame:
     The closure is self-contained (stdlib re + numpy + pandas only), so
     executors never need the package import (no addPyFile dependency).
 
+    PRECONDITION (ADVICE r12): doc_id must be UNIQUE across docs. The
+    kernel keys term frequencies by batch-local row position, so a
+    doc_id spanning multiple rows (within or across batches) emits
+    multiple (doc_id, token) rows where explode+groupBy merged them —
+    inflating df/n_docs in tfidf_top_terms and vocab_top_tokens.
+    documents.doc_id is unique by construction; if a caller ever feeds
+    duplicates, add .groupBy("doc_id", "token").agg(sum("tf")) after.
+
     docs: (doc_id long, text string). Output order is unspecified.
     """
 

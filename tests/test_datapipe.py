@@ -1268,6 +1268,39 @@ def test_brute_force_kernel_bit_parity(spark):
     assert (k.sim == f.sim).all()
 
 
+def test_ann_degenerate_inputs_return_empty(spark):
+    """ADVICE r12 items 1 and 5: an EMPTY query set must short-circuit
+    pq_adc_topk to an empty result (the old kernel raised twice — a 1-D
+    q_e on the driver, then pd.concat([]) on executors), and an empty
+    corpus must short-circuit ivf_topk the same way (the old path
+    IndexError'd on a 0-d centroid array at the driver) — both matching
+    the lazy DataFrame forms they replaced."""
+    from pyspark.sql import functions as F
+
+    from gmall2021_flink_dw_spark.datapipe.ann import ivf_topk, pq_adc_topk
+
+    base, queries = _emb_base_queries(spark)
+    no_queries = queries.filter(F.col("q_id") < 0)
+    out = pq_adc_topk(base, no_queries, k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "q_id",
+        "vec_id",
+        "rank",
+        "sim",
+    ]
+
+    no_corpus = base.filter(F.col("vec_id") < 0)
+    out2 = ivf_topk(no_corpus, queries, k=5)
+    assert out2.count() == 0
+    assert [f.name for f in out2.schema.fields] == [
+        "q_id",
+        "vec_id",
+        "rank",
+        "sim",
+    ]
+
+
 def test_ann_query_cap_raises(spark):
     """The bounded-collect cap on the ANN kernels' query side must fail
     loudly BEFORE a corpus-sized query set reaches the driver."""

@@ -31,9 +31,9 @@ from gmall2021_flink_dw_spark.streaming.pipelines import (
 )
 from gmall2021_flink_dw_spark.streaming.sources import stream_table
 from gmall2021_flink_dw_spark.streaming.stateful import (
-    correct_new_user_stream,
-    jump_detect_stream,
-    uv_dedup_ttl_stream,
+    correct_new_user_stream_bucketed,
+    jump_detect_stream_bucketed,
+    uv_dedup_ttl_stream_bucketed,
 )
 
 _WM_S = 11  # VisitorStats out-of-orderness (VisitorStatsApp.java:101)
@@ -162,7 +162,9 @@ def streaming_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_new_user_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     with _stream_state_partitions(spark, sf_dir):
-        stream = correct_new_user_stream(stream_table(spark, sf_dir, "events"))
+        stream = correct_new_user_stream_bucketed(
+            stream_table(spark, sf_dir, "events")
+        )
         name = f"snu_{uuid.uuid4().hex[:8]}"
         q = run_to_memory(stream, name)
         q.stop()
@@ -250,7 +252,9 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_uv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     with _stream_state_partitions(spark, sf_dir):
-        stream = uv_dedup_ttl_stream(stream_table(spark, sf_dir, "events"))
+        stream = uv_dedup_ttl_stream_bucketed(
+            stream_table(spark, sf_dir, "events")
+        )
         name = f"suv_{uuid.uuid4().hex[:8]}"
         q = run_to_memory(stream, name)
         q.stop()
@@ -293,7 +297,7 @@ def streaming_jump_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_workers_can_import(spark)
     with _stream_state_partitions(spark, sf_dir):
-        stream = jump_detect_stream(stream_table(spark, sf_dir, "events"))
+        stream = jump_detect_stream_bucketed(stream_table(spark, sf_dir, "events"))
         name = f"sjd_{uuid.uuid4().hex[:8]}"
         q = run_to_memory(stream, name)
         q.stop()

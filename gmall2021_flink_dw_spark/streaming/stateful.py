@@ -306,3 +306,405 @@ def jump_detect_stream(events: DataFrame, watermark: str = "0 seconds") -> DataF
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --------------------------------------------------------------------
+# Bucketed-state variants (VERDICT r12 item 6).
+#
+# The per-key forms above call the state function once PER KEY per
+# micro-batch; the r12 profile showed the residual cost is pure
+# per-group framework overhead — Arrow round-trip, state-store
+# get/commit, output-DataFrame ctor — ~1.3 ms/group, which at a
+# 15k-key replay is ~20 s of overhead for ~0.1 s of kernel math. The
+# variants below group by a HASH BUCKET of the key instead
+# (pmod(xxhash64(user_id), n_buckets)), hold every bucket member's
+# state in parallel sorted int64 arrays, and run the SAME vectorized
+# state machines segment-wise across users — so framework overhead
+# scales with n_buckets (a knob), not with the key count.
+#
+# Semantics preserved exactly (property-tested against the same batch
+# oracles in tests/test_state_machines.py):
+# - Per-key event-time timers become one per-bucket timer armed at the
+#   MIN pending bound across members; when it fires (or on any data
+#   call — timers must be re-armed on every invocation anyway), every
+#   member whose own bound the CURRENT watermark has passed is flushed.
+#   A member flushes in exactly the micro-batch cycle its per-key
+#   timer would have fired in: both fire at the first batch whose
+#   carried-in watermark passes the member's bound.
+# - State TTL eviction (uv dedup) likewise drops exactly the members
+#   whose day-end the watermark passed.
+#
+# At 100 TB the bucket id is the shuffle/state-store key: n_buckets
+# scales with key cardinality (the knob below scales with input size),
+# buckets stay O(keys/n_buckets) and spill-free, and the state store
+# round-trips n_buckets rows per batch instead of n_keys. The
+# trade-off is write amplification — one member's update rewrites the
+# bucket row — which pays off exactly when per-group overhead
+# dominates state size (the measured regime here: 8 state partitions
+# beat 32 at sf0.1 AND 10x because state is small).
+# Flink's analogous move is key-group assignment (keys hash into a
+# fixed number of key groups, MAX_PARALLELISM, state tracked per
+# group) — the reference inherits it implicitly via Flink's runtime.
+
+N_STATE_BUCKETS = 256
+
+
+def _bucket_sorted_batch(
+    pdfs: Iterator[pd.DataFrame], extra: tuple[str, ...] = ()
+) -> tuple:
+    """Concat a bucket's Arrow chunks and sort by (user_id, ts_us,
+    event_id), returning int64 numpy arrays (uid, ts, ev, *extra).
+    The user sort groups each member's rows into one contiguous
+    segment so the per-key recurrences vectorize segment-wise."""
+    chunks = list(pdfs)
+    rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+    uid = rows["user_id"].to_numpy(np.int64)
+    ts = rows["ts_us"].to_numpy(np.int64)
+    ev = rows["event_id"].to_numpy(np.int64)
+    order = np.lexsort((ev, ts, uid))
+    cols = tuple(rows[c].to_numpy()[order] for c in extra)
+    return (uid[order], ts[order], ev[order], *cols)
+
+
+def _state_arrays(state: GroupState, n_cols: int) -> tuple:
+    """Load a bucket's state as int64 arrays (users + n_cols-1 value
+    columns), or empties when absent. users is sorted ascending and
+    unique — the invariant every writer below maintains."""
+    if state.exists:
+        return tuple(np.asarray(c, dtype=np.int64) for c in state.get)
+    return tuple(np.empty(0, dtype=np.int64) for _ in range(n_cols))
+
+
+def _member_lookup(su: "np.ndarray", users: "np.ndarray") -> tuple:
+    """(positions, found-mask) of `users` in the sorted state array."""
+    if not len(su):
+        return (
+            np.zeros(len(users), dtype=np.int64),
+            np.zeros(len(users), dtype=bool),
+        )
+    pos = np.minimum(np.searchsorted(su, users), len(su) - 1)
+    return pos, su[pos] == users
+
+
+def _merge_member_state(su, svals, bu, bvals):
+    """Merge per-user state arrays: batch entries (bu, bvals) REPLACE
+    state entries for the same user; both sides sorted unique; result
+    sorted unique. svals/bvals are tuples of parallel arrays."""
+    keep = ~np.isin(su, bu, assume_unique=True)
+    u = np.concatenate([su[keep], bu])
+    order = np.argsort(u, kind="stable")
+    vals = tuple(
+        np.concatenate([sv[keep], bv])[order]
+        for sv, bv in zip(svals, bvals)
+    )
+    return u[order], vals
+
+
+def _seg_bounds(uid: "np.ndarray") -> tuple:
+    """(segment-start mask, segment-end mask) over user-sorted rows."""
+    seg = np.empty(len(uid), dtype=bool)
+    seg[0] = True
+    seg[1:] = uid[1:] != uid[:-1]
+    end = np.empty(len(uid), dtype=bool)
+    end[:-1] = seg[1:]
+    end[-1] = True
+    return seg, end
+
+
+UV_BUCKET_STATE = T.StructType(
+    [
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("day_us", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _uv_bucket_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Bucketed _uv_ttl_fn: state = (sorted member ids, last-emitted
+    day per member). TTL eviction drops members whose day-end the
+    watermark passed — on the timer AND on every data call (the timer
+    must be re-armed per invocation anyway, so the data path is also a
+    correct eviction point); emission semantics are the per-key
+    kernel's, applied segment-wise."""
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    su, sd = _state_arrays(state, 2)
+
+    def _store(u, d):
+        keep = d + _DAY_US > wm_us  # TTL: day-end already passed -> drop
+        u, d = u[keep], d[keep]
+        if len(u):
+            state.update((u.tolist(), d.tolist()))
+            # one timer at the min day-end; re-armed every invocation
+            state.setTimeoutTimestamp(
+                max((int(d.min()) + _DAY_US) // 1000, wm_us // 1000 + 1)
+            )
+        else:
+            state.remove()
+
+    if state.hasTimedOut:
+        _store(su, sd)
+        return
+
+    uid, ts, ev, et = _bucket_sorted_batch(pdfs, ("event_type",))
+    d = ts - ts % _DAY_US
+    seg, end = _seg_bounds(uid)
+    emit = seg.copy()
+    emit[1:] |= d[1:] != d[:-1]
+    # suppress each segment's first run when it equals the carried day
+    first_idx = np.flatnonzero(seg)
+    pos, found = _member_lookup(su, uid[first_idx])
+    same_day = found & (sd[pos] == d[first_idx]) if len(su) else found
+    emit[first_idx[same_day]] = False
+    idx = np.flatnonzero(emit)
+
+    new_u, (new_d,) = _merge_member_state(su, (sd,), uid[end], (d[end],))
+    _store(new_u, new_d)
+    if len(idx):
+        d_emit = d[idx]
+        yield pd.DataFrame(
+            {
+                "user_id": uid[idx],
+                "dt": (d_emit // _DAY_US).astype("datetime64[D]").astype(str),
+                "event_id": ev[idx],
+                "ts_us": ts[idx],
+                "event_type": et[idx],
+            }
+        )
+
+
+NEW_USER_BUCKET_STATE = T.StructType(
+    [T.StructField("users", T.ArrayType(T.LongType()))]
+)
+
+
+def _new_user_bucket_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Bucketed _new_user_fn: state = sorted ids ever seen in this
+    bucket. Unbounded by contract (the reference configures no TTL on
+    this ValueState — BaseLogApp.java:55-77)."""
+    (su,) = _state_arrays(state, 1)
+    uid, ts, ev = _bucket_sorted_batch(pdfs)
+    seg, _ = _seg_bounds(uid)
+    first_idx = np.flatnonzero(seg)
+    _, found = _member_lookup(su, uid[first_idx])
+    flags = np.full(len(uid), "0", dtype=object)
+    flags[first_idx[~found]] = "1"
+    state.update((np.union1d(su, uid[first_idx]).tolist(),))
+    yield pd.DataFrame(
+        {"user_id": uid, "event_id": ev, "ts_us": ts, "is_new": flags}
+    )
+
+
+JUMP_BUCKET_STATE = T.StructType(
+    [
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("last_us", T.ArrayType(T.LongType())),
+        T.StructField("pend_us", T.ArrayType(T.LongType())),
+        T.StructField("pend_event", T.ArrayType(T.LongType())),
+    ]
+)
+
+_NO_PEND = -1  # array-state sentinel for "no pending entry"
+
+
+def _jump_bucket_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Bucketed _jump_fn: state = (sorted member ids, last event time,
+    pending-entry time, pending-entry event) with _NO_PEND sentinels.
+    The per-key recurrence already flattened (an entry either bounces
+    against its successor gap or is discarded at the next event); here
+    it runs segment-wise, and the watermark flush — per-key: one timer
+    per key — is one bucket timer at the min pending bound plus a
+    vectorized wm-passed sweep on every invocation."""
+    gap_us = SESSION_GAP_S * 1_000_000
+    timeout_us = JUMP_TIMEOUT_S * 1_000_000
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_us = wm_ms * 1000
+    su, sl, sp, spe = _state_arrays(state, 4)
+    out_u: list = []
+    out_e: list = []
+    out_t: list = []
+
+    def _flush_expired(u, l, p, pe):
+        """Emit + clear every pending whose bound the watermark passed
+        (keep last_us: the session context must survive — see the
+        per-key kernel's timeout comment)."""
+        exp = (p != _NO_PEND) & (p + timeout_us <= wm_us)
+        if exp.any():
+            out_u.append(u[exp])
+            out_e.append(pe[exp])
+            out_t.append(p[exp])
+            p = np.where(exp, _NO_PEND, p)
+            pe = np.where(exp, _NO_PEND, pe)
+        return u, l, p, pe
+
+    def _store(u, l, p, pe):
+        if len(u):
+            state.update((u.tolist(), l.tolist(), p.tolist(), pe.tolist()))
+            pend = p != _NO_PEND
+            if pend.any():
+                state.setTimeoutTimestamp(
+                    max(
+                        (int(p[pend].min()) + timeout_us) // 1000 + 1,
+                        wm_ms + 1,
+                    )
+                )
+        else:
+            state.remove()
+
+    if state.hasTimedOut:
+        _store(*_flush_expired(su, sl, sp, spe))
+        if out_u:
+            yield pd.DataFrame(
+                {
+                    "user_id": np.concatenate(out_u),
+                    "event_id": np.concatenate(out_e),
+                    "ts_us": np.concatenate(out_t),
+                }
+            )
+        return
+
+    uid, ts, ev = _bucket_sorted_batch(pdfs)
+    seg, end = _seg_bounds(uid)
+    first_idx = np.flatnonzero(seg)
+    pos, found = _member_lookup(su, uid[first_idx])
+
+    # carried-in last_us per segment (no state -> force row 0 an entry)
+    prev = np.empty(len(ts), dtype=np.int64)
+    prev[1:] = ts[:-1]
+    carried_last = np.where(
+        found, sl[pos] if len(su) else 0, ts[first_idx] - gap_us - 1
+    )
+    prev[first_idx] = carried_last
+    is_entry = (ts - prev) > gap_us
+
+    # carried-in pending vs each segment's first event (then cleared
+    # either way — strict contiguity, exactly the per-key kernel)
+    if len(su):
+        carried_pend = np.where(found, sp[pos], _NO_PEND)
+        carried_pe = np.where(found, spe[pos], _NO_PEND)
+    else:
+        carried_pend = np.full(len(first_idx), _NO_PEND, dtype=np.int64)
+        carried_pe = carried_pend
+    expired = (carried_pend != _NO_PEND) & (
+        ts[first_idx] - carried_pend > timeout_us
+    )
+    if expired.any():
+        out_u.append(uid[first_idx[expired]])
+        out_e.append(carried_pe[expired])
+        out_t.append(carried_pend[expired])
+
+    # in-batch bounces: entries (not segment-last) whose successor gap
+    # exceeds the jump timeout
+    gap_next = np.empty(len(ts), dtype=np.int64)
+    gap_next[:-1] = ts[1:] - ts[:-1]
+    gap_next[-1] = 0
+    inb = is_entry & ~end & (gap_next > timeout_us)
+    if inb.any():
+        out_u.append(uid[inb])
+        out_e.append(ev[inb])
+        out_t.append(ts[inb])
+
+    # per-member carry-out: last event time; segment-last entries pend
+    ent_end = is_entry[end]
+    bu = uid[end]
+    bl = ts[end]
+    bp = np.where(ent_end, ts[end], _NO_PEND)
+    bpe = np.where(ent_end, ev[end], _NO_PEND)
+    u2, (l2, p2, pe2) = _merge_member_state(
+        su, (sl, sp, spe), bu, (bl, bp, bpe)
+    )
+    # members without data this batch whose pending the watermark
+    # passed flush NOW — the same micro-batch cycle their per-key
+    # timer would have fired in (the timer is re-armed below anyway)
+    _store(*_flush_expired(u2, l2, p2, pe2))
+
+    if out_u:
+        yield pd.DataFrame(
+            {
+                "user_id": np.concatenate(out_u),
+                "event_id": np.concatenate(out_e),
+                "ts_us": np.concatenate(out_t),
+            }
+        )
+
+
+def _with_bucket(prepared: DataFrame, n_buckets: int) -> DataFrame:
+    """Attach the state bucket id: pmod(xxhash64(user_id), n_buckets).
+    xxhash64 (not raw modulo) so arithmetically-patterned key spaces
+    still spread; pmod keeps the negative half in range."""
+    return prepared.withColumn(
+        "__bucket", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets))
+    )
+
+
+def uv_dedup_ttl_stream_bucketed(
+    events: DataFrame,
+    watermark: str = "0 seconds",
+    n_buckets: int = N_STATE_BUCKETS,
+) -> DataFrame:
+    """uv_dedup_ttl_stream with bucketed state (see the section comment
+    above): identical emitted set, framework overhead O(n_buckets)."""
+    prepared = events.withWatermark("ts", watermark).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "ts",
+    )
+    return _with_bucket(prepared, n_buckets).groupBy(
+        "__bucket"
+    ).applyInPandasWithState(
+        _uv_bucket_fn,
+        UV_SCHEMA,
+        UV_BUCKET_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def correct_new_user_stream_bucketed(
+    events: DataFrame, n_buckets: int = N_STATE_BUCKETS
+) -> DataFrame:
+    """correct_new_user_stream with bucketed state."""
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return _with_bucket(prepared, n_buckets).groupBy(
+        "__bucket"
+    ).applyInPandasWithState(
+        _new_user_bucket_fn,
+        NEW_USER_SCHEMA,
+        NEW_USER_BUCKET_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def jump_detect_stream_bucketed(
+    events: DataFrame,
+    watermark: str = "0 seconds",
+    n_buckets: int = N_STATE_BUCKETS,
+) -> DataFrame:
+    """jump_detect_stream with bucketed state."""
+    prepared = events.withWatermark("ts", watermark).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "ts",
+    )
+    return _with_bucket(prepared, n_buckets).groupBy(
+        "__bucket"
+    ).applyInPandasWithState(
+        _jump_bucket_fn,
+        OUTPUT_SCHEMA,
+        JUMP_BUCKET_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

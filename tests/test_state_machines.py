@@ -216,3 +216,155 @@ def test_uv_ttl_fn_multibatch_chunked(ts_list, n_batches, rng):
     got = _run_machine(_uv_ttl_fn, 7, batches)
     got_ts = sorted(int(t) for t in got["ts_us"]) if len(got) else []
     assert got_ts == _expected_uv(ts_list)
+
+
+# ------------------- bucketed-state kernels (r13) -------------------
+# Same adversarial axes as above (micro-batch cuts, Arrow chunking,
+# timer firings) PLUS the new one: many users share one bucket, so the
+# kernels must segment correctly and merge per-member state without
+# cross-talk. Driving the kernel directly with every user in ONE
+# bucket is the general case — Spark only routes rows.
+
+from gmall2021_flink_dw_spark.streaming.stateful import (  # noqa: E402
+    _jump_bucket_fn,
+    _new_user_bucket_fn,
+    _uv_bucket_fn,
+)
+
+
+class FakeBucketState(FakeState):
+    """FakeState + the watermark surface the bucketed kernels use."""
+
+    def __init__(self):
+        super().__init__()
+        self.wm_ms = 0
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+
+def _run_bucket_machine(fn, batches):
+    """Replay micro-batches of multi-user rows through a bucketed
+    kernel with one FakeBucketState; watermark = max event time of all
+    PRIOR batches (Spark updates the watermark at batch end), timers
+    fired whenever the new watermark passes them."""
+    state = FakeBucketState()
+    out: list[pd.DataFrame] = []
+    for chunks in batches:
+        batch_max = max(int(ts) for c in chunks for ts in c["ts_us"])
+        out.extend(fn((0,), iter(chunks), state))
+        state.wm_ms = max(state.wm_ms, batch_max // 1000)
+        if state.timeout_ms is not None and state.timeout_ms <= state.wm_ms:
+            state.hasTimedOut = True
+            state.timeout_ms = None
+            out.extend(fn((0,), iter(()), state))
+            state.hasTimedOut = False
+    # end of stream: like the per-key harness, pending timers flush as
+    # if the watermark eventually passed them (wm -> infinity); the
+    # bucketed sweep is wm-checked, so advance the fake watermark. The
+    # loop covers re-arming to a later member after a partial flush.
+    state.wm_ms = 2**60
+    while state._val is not None and state.timeout_ms is not None:
+        state.hasTimedOut = True
+        state.timeout_ms = None
+        out.extend(fn((0,), iter(()), state))
+        state.hasTimedOut = False
+    return pd.concat(out) if out else pd.DataFrame()
+
+
+_user_ts_pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=30).map(
+            lambda m: m * (_TIMEOUT_US // 2)
+        ),
+    ),
+    min_size=1,
+    max_size=24,
+    unique=True,
+)
+
+
+def _mk_user_rows(pairs):
+    return pd.DataFrame(
+        {
+            "user_id": [u for u, _ in pairs],
+            "event_id": list(range(len(pairs))),
+            "ts_us": [t for _, t in pairs],
+            "event_type": ["pv"] * len(pairs),
+        }
+    )
+
+
+def _cut_batches(pairs, n_batches, rng):
+    """Sort by event time (stream arrival order), cut into micro-
+    batches, chunk each adversarially."""
+    srt = sorted(pairs, key=lambda p: (p[1], p[0]))
+    cut = (
+        sorted(rng.sample(range(1, len(srt)), min(n_batches - 1, len(srt) - 1)))
+        if len(srt) > 1
+        else []
+    )
+    batches, prev = [], 0
+    for b in cut + [len(srt)]:
+        rows = _mk_user_rows(srt[prev:b])
+        rows["event_id"] = range(prev, b)
+        batches.append(_chunked(rows, rng, 3))
+        prev = b
+    return batches
+
+
+@given(_user_ts_pairs, st.integers(1, 4), st.randoms(use_true_random=False))
+@settings(**_SETTINGS)
+def test_jump_bucket_fn_multiuser_multibatch(pairs, n_batches, rng):
+    """_jump_bucket_fn over a shared bucket must equal the per-user
+    batch lag/lead oracle — every bounce of every member, no spurious
+    ones, no cross-member state leakage."""
+    got = _run_bucket_machine(_jump_bucket_fn, _cut_batches(pairs, n_batches, rng))
+    got_pairs = (
+        sorted(zip((int(u) for u in got["user_id"]), (int(t) for t in got["ts_us"])))
+        if len(got)
+        else []
+    )
+    want = []
+    for u in {u for u, _ in pairs}:
+        want.extend((u, t) for t in _expected_jumps([t for uu, t in pairs if uu == u]))
+    assert got_pairs == sorted(want)
+
+
+@given(_user_ts_pairs, st.integers(1, 5), st.randoms(use_true_random=False))
+@settings(**_SETTINGS)
+def test_uv_bucket_fn_multiuser_multibatch(pairs, n_batches, rng):
+    """_uv_bucket_fn over a shared bucket must emit exactly the first
+    event of each (member, day), with TTL eviction never re-emitting."""
+    got = _run_bucket_machine(_uv_bucket_fn, _cut_batches(pairs, n_batches, rng))
+    got_pairs = (
+        sorted(zip((int(u) for u in got["user_id"]), (int(t) for t in got["ts_us"])))
+        if len(got)
+        else []
+    )
+    want = []
+    for u in {u for u, _ in pairs}:
+        want.extend((u, t) for t in _expected_uv([t for uu, t in pairs if uu == u]))
+    assert got_pairs == sorted(want)
+
+
+@given(_user_ts_pairs, st.integers(1, 4), st.randoms(use_true_random=False))
+@settings(**_SETTINGS)
+def test_new_user_bucket_fn_multiuser_multibatch(pairs, n_batches, rng):
+    """_new_user_bucket_fn: every row emits; exactly one '1' per member
+    — the globally first (ts, event_id) row — across batch cuts."""
+    got = _run_bucket_machine(
+        _new_user_bucket_fn, _cut_batches(pairs, n_batches, rng)
+    )
+    assert len(got) == len(pairs)
+    firsts = {}
+    for u, t in pairs:
+        if u not in firsts or t < firsts[u]:
+            firsts[u] = t
+    got_new = sorted(
+        (int(r.user_id), int(r.ts_us))
+        for r in got.itertuples()
+        if r.is_new == "1"
+    )
+    assert got_new == sorted(firsts.items())

@@ -149,16 +149,28 @@ def test_uv_dedup_equivalence(spark, events_stream):
         q.stop()
 
 
-def test_uv_dedup_ttl_multibatch(spark):
+@pytest.mark.parametrize("form", ["per_key", "bucketed"])
+def test_uv_dedup_ttl_multibatch(spark, form):
     """W4 + 24 h TTL (UniqueVisitApp.java:51-53 parity): replay the
     events in multiple time-ordered micro-batches so watermarks advance
     and the per-day timers actually fire between batches; the emitted
     set must STILL equal the batch first-per-(user,day) oracle exactly —
-    i.e. TTL cleanup neither re-emits a day nor swallows a new one."""
+    i.e. TTL cleanup neither re-emits a day nor swallows a new one.
+    Both state layouts: per-key ValueState and the r13 bucketed array
+    state (the bucketed run also round-trips ArrayType state through
+    the real state store across triggers — the surface the FakeState
+    property tests cannot reach)."""
     import os
 
     from pyspark.sql import Window
-    from gmall2021_flink_dw_spark.streaming.stateful import uv_dedup_ttl_stream
+    from gmall2021_flink_dw_spark.streaming.stateful import (
+        uv_dedup_ttl_stream,
+        uv_dedup_ttl_stream_bucketed,
+    )
+
+    ctor = uv_dedup_ttl_stream if form == "per_key" else (
+        lambda st: uv_dedup_ttl_stream_bucketed(st, n_buckets=7)
+    )
 
     events = load_table(spark, SF, "events")
     # split into 6 time-ordered files: each trigger processes one file,
@@ -177,7 +189,7 @@ def test_uv_dedup_ttl_multibatch(spark):
             .option("maxFilesPerTrigger", 1)
             .parquet(os.path.join(d, "b*"))
         )
-        q = run_to_memory(uv_dedup_ttl_stream(stream), "uv_ttl_stream")
+        q = run_to_memory(ctor(stream), "uv_ttl_stream")
         try:
             got = spark.sql("select * from uv_ttl_stream").toPandas()
             want = spark.sql(
@@ -284,13 +296,21 @@ def test_checkpoint_restart_recovery(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def test_jump_cep_equivalence(spark, events_stream):
+@pytest.mark.parametrize("form", ["per_key", "bucketed"])
+def test_jump_cep_equivalence(spark, events_stream, form):
     """W7: applyInPandasWithState streaming CEP == lag/lead batch oracle.
     With watermark 0s and a single replay batch, timers for pendings
     flush in the trailing no-data micro-batch; any still-pending entries
     (no successor AND watermark never passed their bound) are the only
-    legal difference."""
-    q = run_to_memory(jump_detect_stream(events_stream), "jump_stream")
+    legal difference. Both state layouts (see the uv multibatch test)."""
+    from gmall2021_flink_dw_spark.streaming.stateful import (
+        jump_detect_stream_bucketed,
+    )
+
+    ctor = jump_detect_stream if form == "per_key" else (
+        lambda st: jump_detect_stream_bucketed(st, n_buckets=7)
+    )
+    q = run_to_memory(ctor(events_stream), "jump_stream")
     try:
         got = spark.sql("select * from jump_stream").toPandas()
         want = (
@@ -317,15 +337,21 @@ def test_jump_cep_equivalence(spark, events_stream):
         q.stop()
 
 
-def test_new_user_state_equivalence(spark, events_stream):
+@pytest.mark.parametrize("form", ["per_key", "bucketed"])
+def test_new_user_state_equivalence(spark, events_stream, form):
     """W5/P11: keyed-ValueState new-user correction under streaming must
-    exactly match the batch min-struct oracle on replay."""
+    exactly match the batch min-struct oracle on replay. Both state
+    layouts (see the uv multibatch test)."""
     from gmall2021_flink_dw_spark.operators.dedup import correct_new_user_flag
     from gmall2021_flink_dw_spark.streaming.stateful import (
         correct_new_user_stream,
+        correct_new_user_stream_bucketed,
     )
 
-    q = run_to_memory(correct_new_user_stream(events_stream), "nu_stream")
+    ctor = correct_new_user_stream if form == "per_key" else (
+        lambda st: correct_new_user_stream_bucketed(st, n_buckets=7)
+    )
+    q = run_to_memory(ctor(events_stream), "nu_stream")
     try:
         got = spark.sql("select * from nu_stream").toPandas()
         want = (

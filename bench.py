@@ -223,6 +223,83 @@ PINNED_FLOORS = ("sample_dsir",)
 EARLY_FLOOR_MAX_SEC = 2.0
 
 
+LEDGER_NAME = "BENCH_MINS.json"
+
+
+def load_certification_priors(sf: float, repo_dir: str) -> dict[str, float]:
+    """Per-query certification priors for the 2x floor-selection rule,
+    the early-floor gate, and floor_anchor.
+
+    VERDICT r12 item 2: these used to be read from the immediately
+    prior committed artifact (BENCH_FULL.json), which RATCHETS — one
+    committed ambience-degraded artifact raised every query's
+    certification band and disabled the early-floor gate (sample_dsir
+    carried an uncertified floor four rounds because its prior read
+    2.177 s against a true ~0.95 s committed min). The prior is now the
+    monotone committed-minima ledger (BENCH_MINS.json, seeded from all
+    git history by tools/gen_bench_mins.py and min-merged by every
+    run): a slow committed artifact can no longer raise any band,
+    because ledger values only ever go DOWN — a query's entry resets
+    only on an intentional plan change (the ledger's `resets` section).
+
+    Falls back to the same-sf prior artifact only when the ledger has
+    no entries for this sf (fresh tree, pre-seed)."""
+    try:
+        with open(os.path.join(repo_dir, LEDGER_NAME)) as f:
+            doc = json.load(f)
+        mins = {
+            q: float(v)
+            for q, v in (doc.get(f"sf{sf}") or {}).items()
+            if isinstance(v, (int, float)) and v > 0
+        }
+        if mins:
+            return mins
+    except (OSError, ValueError):
+        pass
+    prior_name = "BENCH_FULL.json" if sf == 0.1 else f"BENCH_FULL_sf{sf}.json"
+    try:
+        with open(os.path.join(repo_dir, prior_name)) as f:
+            prior = json.load(f)
+        if prior.get("sf") == sf:
+            return {
+                q: float(v)
+                for q, v in (prior.get("queries") or {}).items()
+                if isinstance(v, (int, float)) and v > 0
+            }
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
+def update_ledger_mins(
+    sf: float, evidence: dict[str, float], repo_dir: str
+) -> dict[str, float]:
+    """Min-merge this run's per-query evidence into the ledger —
+    monotone: a value is written only when it is LOWER than the
+    existing entry (so a slow run, committed or not, cannot raise any
+    query's band). Returns the updated sf map. The write rides the
+    same working tree as BENCH_FULL.json: committing the artifact pair
+    commits the ledger update; reverting a plan reverts both."""
+    path = os.path.join(repo_dir, LEDGER_NAME)
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        doc = {"resets": {}}
+    key = f"sf{sf}"
+    bucket = doc.get(key) or {}
+    for q, v in evidence.items():
+        if isinstance(v, (int, float)) and v > 0:
+            cur = bucket.get(q)
+            if cur is None or v < cur:
+                bucket[q] = round(float(v), 3)
+    doc[key] = dict(sorted(bucket.items()))
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=False)
+        f.write("\n")
+    return doc[key]
+
+
 def merge_floor_measurements(
     early: dict[str, float], late: dict[str, float]
 ) -> dict[str, float]:
@@ -261,8 +338,9 @@ def split_floors(
     map ("unavailable": reported for transparency, excluded from
     evidence) — EXCEPT for sub-2s queries, where a re-time within
     FAST_FLOOR_TOL of the pass counts as reproducing it (see above).
-    The stable certification anchor is the committed BENCH_FULL.json
-    per-query min, emitted alongside as `floor_anchor`.
+    The stable certification anchor is the BENCH_MINS.json ledger min
+    (all-history committed, monotone), emitted alongside as
+    `floor_anchor`.
     """
     floors = {
         n: v
@@ -320,24 +398,15 @@ def main() -> None:
     # full passes do. min-of-3 also damps co-tenant contention: local[32]
     # saturates the box, so any co-running JVM inflates a single pass
     # 2-4x (documented in BASELINE.md).
-    # prior committed per-query mins, loaded BEFORE the passes: the
+    # per-query certification priors, loaded BEFORE the passes: the
     # early-floor gate and the 2x floor-selection rule both read them.
-    # The prior is the SAME-SF artifact (r12: the sf1.0 run used to
-    # read the sf0.1-only BENCH_FULL.json, get nothing, and leave its
-    # 2x rule inert — two drifted 10x queries shipped with no floor);
-    # the sf check stays as a belt-and-suspenders guard.
-    prior_name = "BENCH_FULL.json" if sf == 0.1 else f"BENCH_FULL_sf{sf}.json"
-    prior_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), prior_name
-    )
-    prior_mins: dict[str, float] = {}
-    try:
-        with open(prior_path) as f:
-            prior = json.load(f)
-        if prior.get("sf") == sf:
-            prior_mins = prior.get("queries", {})
-    except (OSError, ValueError):
-        pass  # first run / artifact missing: top-5 rule alone applies
+    # Source: the monotone committed-minima ledger (VERDICT r12 item 2
+    # — see load_certification_priors; a slow committed artifact can
+    # no longer ratchet any query's band). Same-sf keyed (the r12
+    # lesson: an sf1.0 run reading the sf0.1 artifact left its 2x rule
+    # inert).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prior_mins = load_certification_priors(sf, repo_dir)
 
     times: dict[str, float] = {}
     session_t0 = time.perf_counter()
@@ -409,11 +478,13 @@ def main() -> None:
     # time says the pass number was co-tenant/driver contention, not the
     # plan (the r02 simhash case: 12s driver pass vs 3.1s uncontended
     # floor, BASELINE.md). Floor selection (VERDICT r04 item 7,
-    # self-certifying): the top-5 most expensive queries PLUS any query
-    # whose pass time exceeds 2x its committed BENCH_FULL.json min from
-    # the previous run (read before this run overwrites it), capped at
-    # 10 — so a contended driver re-run carries its own exoneration for
-    # every inflated entry, not just the most expensive five.
+    # self-certifying; prior source re-based in r13 per VERDICT r12
+    # item 2): the top-5 most expensive queries PLUS any query whose
+    # pass time exceeds 2x its ALL-HISTORY committed min (the
+    # BENCH_MINS.json ledger), capped at 10 — so a contended driver
+    # re-run carries its own exoneration for every inflated entry, not
+    # just the most expensive five, and one slow committed artifact
+    # cannot shrink the flagged set.
     by_cost = sorted(times, key=lambda n: times[n], reverse=True)
     floor_set = set(by_cost[:5]) | {
         n for n in times if times[n] > 2 * prior_mins.get(n, float("inf"))
@@ -446,6 +517,14 @@ def main() -> None:
     floor_anchor = {
         n: prior_mins[n] for n in floor_names if n in prior_mins
     }
+
+    # Min-merge this run's evidence into the ledger (monotone: values
+    # only go down). Evidence per query = min(pass time, any solo
+    # floor) — all honest measurements of the current plans.
+    evidence = dict(times)
+    for n, v in merge_floor_measurements(floors_early, measured_floors).items():
+        evidence[n] = min(evidence.get(n, float("inf")), v)
+    update_ledger_mins(sf, evidence, repo_dir)
 
     total = round(sum(times.values()), 3)
     # The driver records only a ~2KB tail of stdout; r03's single-line

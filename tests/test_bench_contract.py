@@ -172,3 +172,78 @@ def test_split_floors_fast_query_noise_tolerance() -> None:
         {"edge": bench.EARLY_FLOOR_MAX_SEC * 1.05},
     )
     assert f == {} and "edge" in u
+
+
+def test_ledger_priors_ignore_slow_committed_artifact(tmp_path) -> None:
+    """VERDICT r12 item 2 contract: a slow committed artifact must not
+    raise any query's certification band. The priors come from the
+    monotone ledger; a same-dir BENCH_FULL.json carrying inflated
+    values is ignored whenever the ledger has entries."""
+    ledger = {"resets": {}, "sf0.1": {"q_a": 1.0, "q_b": 0.5}}
+    (tmp_path / "BENCH_MINS.json").write_text(json.dumps(ledger))
+    slow_artifact = {"sf": 0.1, "queries": {"q_a": 3.0, "q_b": 2.2}}
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(slow_artifact))
+
+    priors = bench.load_certification_priors(0.1, str(tmp_path))
+    assert priors == {"q_a": 1.0, "q_b": 0.5}
+    # the 2x floor-selection predicate now flags the drifted pass
+    times = {"q_a": 2.5, "q_b": 0.6}
+    flagged = {n for n in times if times[n] > 2 * priors.get(n, float("inf"))}
+    assert flagged == {"q_a"}
+
+
+def test_ledger_fallback_to_artifact_when_unseeded(tmp_path) -> None:
+    """Pre-seed trees (no ledger, or no entries for this sf) fall back
+    to the same-sf prior artifact — never a cross-sf one."""
+    artifact = {"sf": 0.1, "queries": {"q_a": 3.0}}
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(artifact))
+    assert bench.load_certification_priors(0.1, str(tmp_path)) == {"q_a": 3.0}
+    # sf mismatch: the sf1.0 lookup must not read the sf0.1 artifact
+    assert bench.load_certification_priors(1.0, str(tmp_path)) == {}
+
+
+def test_ledger_update_is_monotone(tmp_path) -> None:
+    """update_ledger_mins only ever lowers values: a slow run (committed
+    or not) cannot raise a band; new queries enter; resets survive."""
+    ledger = {
+        "resets": {"q_r": {"round": 13, "reason": "plan change"}},
+        "sf0.1": {"q_a": 1.0, "q_b": 0.5},
+    }
+    path = tmp_path / "BENCH_MINS.json"
+    path.write_text(json.dumps(ledger))
+
+    out = bench.update_ledger_mins(
+        0.1, {"q_a": 2.9, "q_b": 0.4, "q_new": 7.5}, str(tmp_path)
+    )
+    assert out["q_a"] == 1.0  # slow evidence ignored
+    assert out["q_b"] == 0.4  # faster evidence lowers
+    assert out["q_new"] == 7.5  # first evidence enters
+
+    doc = json.loads(path.read_text())
+    assert doc["sf0.1"] == out
+    assert doc["resets"] == ledger["resets"]  # resets preserved
+    # a second slow run still cannot raise anything
+    out2 = bench.update_ledger_mins(0.1, {"q_b": 9.9}, str(tmp_path))
+    assert out2["q_b"] == 0.4
+
+
+def test_committed_ledger_is_seeded_and_consistent() -> None:
+    """The committed BENCH_MINS.json must exist, carry sf0.1 entries
+    for every headline query that has ever been benched, and respect
+    its own monotone contract against the committed artifact."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_MINS.json")) as f:
+        doc = json.load(f)
+    mins = doc.get("sf0.1") or {}
+    assert len(mins) >= 100
+    assert all(isinstance(v, float) and v > 0 for v in mins.values())
+    # every ledger min is <= the committed artifact's value for that
+    # query (the artifact is one sample; the ledger is the history min)
+    with open(os.path.join(repo, "BENCH_FULL.json")) as f:
+        art = json.load(f)
+    if art.get("sf") == 0.1:
+        for q, v in (art.get("queries") or {}).items():
+            if q in mins:
+                assert mins[q] <= v + 1e-9, (q, mins[q], v)

@@ -1,0 +1,117 @@
+"""Seed/rebuild BENCH_MINS.json — the monotone committed-minima ledger.
+
+VERDICT r12 item 2: bench.py's 2x floor-selection rule and early-floor
+gate used to read the *immediately prior committed artifact* as the
+certification prior, so committing one ambience-degraded artifact
+ratcheted every query's band upward (r12: seven queries sat >2x their
+all-history committed min yet drew no floor, and sample_dsir's
+early-floor gate read a 2.177 s prior and never fired). The fix is a
+per-query ALL-HISTORY committed-minimum ledger, updated monotonically
+downward, reset for a query only when its plan changes.
+
+This tool rebuilds the ledger from git history: every committed version
+of BENCH_FULL.json / BENCH_FULL_sf*.json contributes its per-query
+times, floors, and floors_early; the ledger takes the min per (sf,
+query). Resets are honored by dropping history BEFORE the reset commit
+for the named query (the `resets` section of the existing ledger is
+preserved verbatim and re-applied).
+
+Run from the repo root: python tools/gen_bench_mins.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER = os.path.join(REPO, "BENCH_MINS.json")
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, check=True, capture_output=True, text=True
+    ).stdout
+
+
+def committed_versions(path: str) -> list[tuple[str, dict]]:
+    """Every committed version of `path`, oldest first: (sha, parsed)."""
+    shas = _git(
+        "log", "--follow", "--format=%H", "--reverse", "--", path
+    ).split()
+    out: list[tuple[str, dict]] = []
+    for sha in shas:
+        try:
+            blob = _git("show", f"{sha}:{path}")
+            out.append((sha, json.loads(blob)))
+        except (subprocess.CalledProcessError, ValueError):
+            continue  # renamed/deleted at this commit, or unparsable
+    return out
+
+
+def main() -> None:
+    resets: dict[str, dict] = {}
+    if os.path.exists(LEDGER):
+        with open(LEDGER) as f:
+            resets = json.load(f).get("resets", {})
+
+    # commit order index, to honor resets (history strictly BEFORE the
+    # reset commit is dropped for that query)
+    all_shas = _git("log", "--format=%H", "--reverse").split()
+    order = {sha: i for i, sha in enumerate(all_shas)}
+
+    mins: dict[str, dict[str, float]] = {}
+    artifact_names = sorted(
+        n
+        for n in set(
+            _git("log", "--format=", "--name-only", "--diff-filter=A").split()
+        )
+        if n.startswith("BENCH_FULL") and n.endswith(".json")
+    )
+    for art in artifact_names:
+        for sha, doc in committed_versions(art):
+            sf = doc.get("sf")
+            if not isinstance(sf, (int, float)) or sf <= 0:
+                continue
+            key = f"sf{sf}"
+            bucket = mins.setdefault(key, {})
+            evidence: dict[str, float] = {}
+            for section in ("queries", "floors", "floors_early"):
+                for q, v in (doc.get(section) or {}).items():
+                    if isinstance(v, (int, float)) and v > 0:
+                        evidence[q] = min(evidence.get(q, float("inf")), v)
+            for q, v in evidence.items():
+                r = resets.get(q)
+                if r and order.get(sha, 0) < order.get(
+                    r.get("commit", ""), -1
+                ):
+                    continue  # pre-reset evidence: the old plan's min
+                bucket[q] = round(min(bucket.get(q, float("inf")), v), 3)
+
+    doc = {
+        "_doc": (
+            "Monotone committed-minima ledger (VERDICT r12 item 2): "
+            "per-sf per-query all-history committed min across every "
+            "BENCH_FULL* artifact version in git. bench.py reads it as "
+            "the certification prior for the 2x floor-selection rule "
+            "and the early-floor gate, and min-merges each run's "
+            "evidence back in — values only ever go DOWN. To reset a "
+            "query after an intentional plan change, add an entry to "
+            "`resets` ({query: {round, commit, reason}}), delete the "
+            "query from the sf maps, and rerun tools/gen_bench_mins.py."
+        ),
+        "resets": resets,
+        **{k: dict(sorted(v.items())) for k, v in sorted(mins.items())},
+    }
+    with open(LEDGER, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=False)
+        f.write("\n")
+    for k, v in mins.items():
+        print(f"{k}: {len(v)} queries", file=sys.stderr)
+    print(f"wrote {LEDGER}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -346,7 +346,15 @@ def jump_detect_stream(events: DataFrame, watermark: str = "0 seconds") -> DataF
 # fixed number of key groups, MAX_PARALLELISM, state tracked per
 # group) — the reference inherits it implicitly via Flink's runtime.
 
-N_STATE_BUCKETS = 256
+# Measured sweep (uv dedup, solo min-of-3, r13): at 10x (15k keys)
+# 16 buckets 6.5 s (parallelism-starved: fewer buckets than the ~32
+# state-store partitions), 32: 5.3, 64: 4.7, 128: 4.7, 256: 5.3,
+# 1024: 5.4 — per-group overhead creeps back as buckets grow; at
+# sf0.1, 64: 2.78 vs 256: 3.08. 64 wins both scales on this box
+# (local[32]); on a real cluster the knob scales with executor-core
+# count and key cardinality — per-bucket state must stay
+# O(keys/n_buckets) memory-bounded, which every kernel above is.
+N_STATE_BUCKETS = 64
 
 
 def _bucket_sorted_batch(

@@ -171,6 +171,11 @@ HEADLINE = [
     "multimodal_decode_jpeg_ac",
     "vocab_coverage",
     "sample_weighted",
+    # added r13 (the bucketed-state replans get artifact evidence;
+    # totals remain incomparable across rounds — per-query minima are
+    # the lens):
+    "streaming_new_user_flag",
+    "streaming_jump_detect",
 ]
 
 

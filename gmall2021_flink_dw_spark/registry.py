@@ -120,9 +120,16 @@ _WINDOW_ROUND = 13
 # parity covers them locally; this closes the driver-evidence gap);
 # (c) the remaining 21 slots fill from the 50-name r10 cohort in
 # registration order (4 of that cohort already sit in (b)). The 25
-# r10 names that don't fit — sample_leakage_free_split onward in
-# registration order — sit at effective staleness 3 after r13
-# (exactly the bound, still legal) and MUST lead the r14 rebuild.
+# r10 names that don't fit sit at effective staleness 3 after r13
+# (exactly the bound, still legal) and MUST lead the r14 rebuild:
+# sample_leakage_free_split, dws_keyword_stats_zh, cdc_asof_enrich,
+# dws_funnel_conversion, dws_retention_cohorts, tpch_q5, tpch_q6,
+# tpch_q4_semi, tpch_q16_anti, tpch_q12_caseagg, tpch_q14_promo,
+# tpch_q18_bigorders, tpch_q19_disjunct, ads_top_parts_per_brand,
+# dws_sales_rollup, ads_order_quantiles, tpch_q2_mincost,
+# tpch_q8_marketshare, tpch_q9_profit, tpch_q11_importance,
+# tpch_q13_custdist, tpch_q17_smallqty, tpch_q21_waiting,
+# tpch_q22_inactive, tpch_q20_excess.
 _DRIVER_WINDOW = (
     # (a) newest driver row r09 — at the staleness bound of 3
     "dws_session_window",

@@ -331,7 +331,9 @@ FAST_FLOOR_TOL = 0.10
 
 
 def split_floors(
-    times: dict[str, float], measured: dict[str, float]
+    times: dict[str, float],
+    measured: dict[str, float],
+    priors: dict[str, float] | None = None,
 ) -> tuple[dict[str, float], dict[str, float]]:
     """Partition session-end floor re-times into evidence vs noise.
 
@@ -341,12 +343,24 @@ def split_floors(
     the session), where the floor certifies nothing (VERDICT r05 item
     3). A measured floor above its pass time is returned in the second
     map ("unavailable": reported for transparency, excluded from
-    evidence) — EXCEPT for sub-2s queries, where a re-time within
-    FAST_FLOOR_TOL of the pass counts as reproducing it (see above).
+    evidence) — EXCEPT:
+    - sub-2s queries, where a re-time within FAST_FLOOR_TOL of the pass
+      counts as reproducing it (see above), and
+    - (r13) a re-time inside the certification band itself — within 2x
+      of the query's ledger min (`priors`): the whole point of a floor
+      is proving the plan can run inside the band, and a solo sample
+      inside the band IS that proof regardless of where the (equally
+      noisy) pass landed. Without this clause a query whose pass is
+      already near its ledger min gets its floor "inverted" by
+      single-digit-percent noise and reads as uncertified when nothing
+      drifted at all (the r13 window-3 sample_dsir case: pass 1.109,
+      re-time 1.31, ledger min 0.954 — every number inside the band).
+
     The stable certification anchor is the BENCH_MINS.json ledger min
     (all-history committed, monotone), emitted alongside as
     `floor_anchor`.
     """
+    priors = priors or {}
     floors = {
         n: v
         for n, v in measured.items()
@@ -357,6 +371,7 @@ def split_floors(
                 times[n] < EARLY_FLOOR_MAX_SEC
                 and v <= times[n] * (1.0 + FAST_FLOOR_TOL)
             )
+            or v <= 2.0 * priors.get(n, 0.0)
         )
     }
     unavailable = {n: v for n, v in measured.items() if n not in floors}
@@ -517,7 +532,9 @@ def main() -> None:
     # floors (pinned fast queries) merge in as additional honest
     # samples before the guard classifies.
     floors, floors_unavailable = split_floors(
-        times, merge_floor_measurements(floors_early, measured_floors)
+        times,
+        merge_floor_measurements(floors_early, measured_floors),
+        prior_mins,
     )
     floor_anchor = {
         n: prior_mins[n] for n in floor_names if n in prior_mins

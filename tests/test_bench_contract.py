@@ -247,3 +247,22 @@ def test_committed_ledger_is_seeded_and_consistent() -> None:
         for q, v in (art.get("queries") or {}).items():
             if q in mins:
                 assert mins[q] <= v + 1e-9, (q, mins[q], v)
+
+
+def test_split_floors_ledger_band_accepts_inverted_retime() -> None:
+    """r13 clause: a solo re-time inside the 2x-of-ledger band is floor
+    evidence even when it lands above the (equally noisy) pass — but a
+    re-time outside the band AND above the pass stays unavailable."""
+    times = {"q_fast": 1.109, "q_slow": 10.0, "q_bad": 3.0}
+    measured = {"q_fast": 1.31, "q_slow": 12.0, "q_bad": 2.9}
+    priors = {"q_fast": 0.954, "q_slow": 4.0}
+    floors, unavailable = bench.split_floors(times, measured, priors)
+    # q_fast: 1.31 <= 2*0.954 -> certified despite 18% pass inversion
+    assert floors["q_fast"] == 1.31
+    # q_slow: 12.0 > 2*4.0 and > pass -> still unavailable
+    assert unavailable["q_slow"] == 12.0
+    # q_bad has no prior; 2.9 <= pass -> ordinary floor
+    assert floors["q_bad"] == 2.9
+    # and without priors, q_fast inverts as before (backward compat)
+    f2, u2 = bench.split_floors(times, measured)
+    assert "q_fast" in u2 and "q_bad" in f2

@@ -101,90 +101,81 @@ def register(
 # commit (VERDICT r04 item 1: the handover state must be green; the
 # forcing function moves to the start-of-round bump, asserted by
 # test_window_round_is_bumped).
-_WINDOW_ROUND = 13
+_WINDOW_ROUND = 14
 
-# r13 window (VERDICT r12 item 1): executes the rebuild the r12 judge
-# mandated. Census entering r13: 159 registered queries; staleness
-# bound stays at ceil(159/50) - 1 = 3 successful driver rounds.
-# Effective round sequence entering r13: [r1..r7, r9, r10, r11, r12]
-# (r08 crashed, zero evidence, consumed no rotation capacity).
+# r14 window (VERDICT r13 item 1): executes the rebuild the r13 judge
+# mandated, led by the 25-name list pre-committed in r13 (commit
+# 8f51e25). Census entering r14: 159 registered queries (held, VERDICT
+# r13 item 7); staleness bound stays at ceil(159/50) - 1 = 3
+# successful driver rounds.
 #
-# Layout: (a) the nine names whose newest driver row is r09 —
-# effective staleness 3 entering r13, AT the bound (spilled from the
-# r12 rebuild, pre-committed there to lead this one); (b) the twenty
-# r12-REPLANNED queries whose newest driver CORRECTNESS row (r10/r11)
-# predates their current plans — the r12 window was built before the
-# round's replans landed, so the driver's own gate has never seen the
-# hashed-shingle dedups, the Arrow-kernel ANN scans, the
-# doc_token_counts family, or the vectorized stateful trio (oracle
-# parity covers them locally; this closes the driver-evidence gap);
-# (c) the remaining 21 slots fill from the 50-name r10 cohort in
-# registration order (4 of that cohort already sit in (b)). The 25
-# r10 names that don't fit sit at effective staleness 3 after r13
-# (exactly the bound, still legal) and MUST lead the r14 rebuild:
-# sample_leakage_free_split, dws_keyword_stats_zh, cdc_asof_enrich,
-# dws_funnel_conversion, dws_retention_cohorts, tpch_q5, tpch_q6,
-# tpch_q4_semi, tpch_q16_anti, tpch_q12_caseagg, tpch_q14_promo,
-# tpch_q18_bigorders, tpch_q19_disjunct, ads_top_parts_per_brand,
-# dws_sales_rollup, ads_order_quantiles, tpch_q2_mincost,
-# tpch_q8_marketshare, tpch_q9_profit, tpch_q11_importance,
-# tpch_q13_custdist, tpch_q17_smallqty, tpch_q21_waiting,
-# tpch_q22_inactive, tpch_q20_excess.
+# Layout: (a) the 25 names whose newest driver row is r10, effective
+# staleness 3 entering r14, AT the bound (spilled from the r13
+# rebuild, pre-committed there to lead this one): the 17 TPC-H shapes
+# plus sample_leakage_free_split, dws_keyword_stats_zh,
+# cdc_asof_enrich, dws_funnel_conversion, dws_retention_cohorts,
+# ads_top_parts_per_brand, dws_sales_rollup, ads_order_quantiles;
+# (b) the remaining 25 slots fill from the 34-name r11 cohort in
+# registration order. The 9 r11 names that do not fit sit at
+# effective staleness 3 after r14 (exactly the bound, still legal)
+# and MUST lead the r15 rebuild: cdc_scd2, streaming_visitor_stats,
+# streaming_exact_distinct, streaming_interval_join,
+# streaming_session_window, streaming_keyword_stats,
+# dws_keyword_stats, dws_visitor_stats, dws_product_stats.
 _DRIVER_WINDOW = (
-    # (a) newest driver row r09 — at the staleness bound of 3
-    "dws_session_window",
-    "dws_salted_agg",
-    "tpch_q10_returns",
-    "tpch_q15_topsupplier",
-    "tpch_q7_volume",
-    "dws_hopping_stats",
-    "dws_uv_sketch_rollup",
-    "tpch_q1",
-    "tpch_q3",
-    # (b) r12-replanned: driver evidence predates the current plan
-    "ann_topk",
-    "ann_bucketed",
-    "ann_ivf",
-    "ann_pq",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_simhash",
-    "dedup_winnow_pairs",
-    "dedup_semantic",
-    "tfidf_top_terms",
-    "vocab_top_tokens",
-    "text_boilerplate",
-    "corpus_ngram_novelty",
-    "text_repetition",
-    "corpus_clean",
-    "streaming_uv_dedup",
-    "streaming_jump_detect",
-    "streaming_new_user_flag",
-    "streaming_cdc_upsert",
-    # (c) the r10 cohort, registration order; first 21 not already in
-    # (b) (the 25 spilled names lead the r14 rebuild)
-    "multimodal_decode_mixed",
-    "dedup_substring_spans_hashed",
-    "dedup_embedding_cosine",
-    "text_quality",
-    "doc_winnow_fingerprint",
-    "multimodal_frame_sample",
-    "text_redact",
-    "sample_stratified",
-    "corpus_contamination",
-    "pack_sequences",
-    "dedup_survivors_by_quality",
-    "multimodal_resize",
-    "text_token_counts",
-    "sample_training_mix",
-    "corpus_summary",
-    "corpus_train_pipeline",
-    "sample_mix_allocator",
-    "dedup_paragraphs",
-    "streaming_heavy_hitters",
-    "sample_dsir",
-    "embedding_pca_power",
+    # (a) newest driver row r10, at the staleness bound of 3
+    "sample_leakage_free_split",
+    "dws_keyword_stats_zh",
+    "cdc_asof_enrich",
+    "dws_funnel_conversion",
+    "dws_retention_cohorts",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q4_semi",
+    "tpch_q16_anti",
+    "tpch_q12_caseagg",
+    "tpch_q14_promo",
+    "tpch_q18_bigorders",
+    "tpch_q19_disjunct",
+    "ads_top_parts_per_brand",
+    "dws_sales_rollup",
+    "ads_order_quantiles",
+    "tpch_q2_mincost",
+    "tpch_q8_marketshare",
+    "tpch_q9_profit",
+    "tpch_q11_importance",
+    "tpch_q13_custdist",
+    "tpch_q17_smallqty",
+    "tpch_q21_waiting",
+    "tpch_q22_inactive",
+    "tpch_q20_excess",
+    # (b) the r11 cohort, registration order; the 9 spilled names
+    # listed above MUST lead the r15 rebuild
+    "text_stats",
+    "lang_id",
+    "dedup_exact",
+    "multimodal_decode",
+    "multimodal_decode_real",
+    "quality_classifier",
+    "text_perplexity",
+    "sample_hash_bucket",
+    "dedup_embedding_lsh",
+    "multimodal_embed",
+    "sample_curriculum_rank",
+    "streaming_dedup_ingest",
+    "corpus_length_histogram",
+    "corpus_filter_pipeline",
+    "sample_ccnet_buckets",
+    "dedup_substring_clean_hashed",
+    "dedup_substring_keepfirst_hashed",
+    "tokenizer_train_bpe",
+    "tokenizer_apply_bpe",
+    "tokenizer_tokenize_docs",
+    "cdc_changelog",
+    "cdc_route",
+    "cdc_route_projected",
+    "cdc_snapshot_at",
+    "cdc_dim_snapshot",
 )
 
 # Queries registered AFTER the upcoming round's 50-slot window filled.

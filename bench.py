@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -284,13 +285,39 @@ def update_ledger_mins(
     existing entry (so a slow run, committed or not, cannot raise any
     query's band). Returns the updated sf map. The write rides the
     same working tree as BENCH_FULL.json: committing the artifact pair
-    commits the ledger update; reverting a plan reverts both."""
+    commits the ledger update; reverting a plan reverts both. NOTE
+    (ADVICE r13): the merge runs against whatever plans are in the
+    working tree — if you revert an experimental plan file, revert the
+    BENCH_MINS.json change with it, or the ledger keeps a minimum the
+    committed plan cannot reach (monotone => only a manual reset
+    undoes it). A dirty-tree warning is printed at the call site."""
     path = os.path.join(repo_dir, LEDGER_NAME)
     try:
         with open(path) as f:
             doc = json.load(f)
-    except (OSError, ValueError):
-        doc = {"resets": {}}
+    except FileNotFoundError:
+        doc = {"resets": {}}  # first run ever: seed a fresh ledger
+    except (OSError, ValueError) as ex:
+        # ADVICE r13: a present-but-corrupt ledger must NOT be treated
+        # like a missing one — overwriting it with only this run's
+        # evidence silently wipes every other sf bucket, all history
+        # minima, and the resets section. Divert this run's evidence to
+        # a side file and leave the ledger for a human (or
+        # tools/gen_bench_mins.py, which rebuilds it from git).
+        side = path + ".rejected"
+        with open(side, "w") as f:
+            json.dump(
+                {f"sf{sf}": dict(sorted(evidence.items()))}, f, indent=1
+            )
+            f.write("\n")
+        print(
+            f"WARNING: {LEDGER_NAME} exists but is unreadable "
+            f"({type(ex).__name__}: {ex}); ledger NOT updated — this "
+            f"run's evidence written to {side}; restore the ledger via "
+            "git or tools/gen_bench_mins.py",
+            file=sys.stderr,
+        )
+        return {}
     key = f"sf{sf}"
     bucket = doc.get(key) or {}
     for q, v in evidence.items():
@@ -303,6 +330,43 @@ def update_ledger_mins(
         json.dump(doc, f, indent=1, sort_keys=False)
         f.write("\n")
     return doc[key]
+
+
+def warn_if_tree_dirty(repo_dir: str) -> bool:
+    """ADVICE r13: the ledger min-merge runs against whatever plans are
+    in the working tree, including uncommitted experiments. That is the
+    intended flow (new plans earn their minima before the commit that
+    ships them), but selectively reverting a plan file while keeping
+    the BENCH_MINS.json change bakes in a minimum the committed plan
+    cannot reach. Warn when non-artifact files are modified so the run
+    log records that this merge carries uncommitted-plan evidence.
+    Returns True when dirty (for tests)."""
+    artifact = re.compile(r"(BENCH_FULL.*\.json|BENCH_MINS\.json.*)$")
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=repo_dir,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    except (OSError, subprocess.CalledProcessError):
+        return False  # not a git repo / git unavailable: nothing to say
+    dirty = [
+        ln[3:]
+        for ln in out.splitlines()
+        if ln[:2].strip() and not artifact.search(ln[3:].strip())
+    ]
+    if dirty:
+        print(
+            "WARNING: working tree has uncommitted non-artifact changes "
+            f"({len(dirty)} files, e.g. {dirty[:3]}); the BENCH_MINS.json "
+            "min-merge will include evidence from these uncommitted "
+            "plans — if you revert a plan file, revert the ledger change "
+            "with it (see update_ledger_mins docstring)",
+            file=sys.stderr,
+        )
+    return bool(dirty)
 
 
 def merge_floor_measurements(
@@ -376,6 +440,51 @@ def split_floors(
     }
     unavailable = {n: v for n, v in measured.items() if n not in floors}
     return floors, unavailable
+
+
+def classify_floors(
+    times: dict[str, float],
+    measured: dict[str, float],
+    priors: dict[str, float] | None = None,
+) -> dict[str, dict]:
+    """Self-adjudicating floor metadata (VERDICT r13 item 3): the r13
+    artifact listed dedup_simhash's 6.772 re-time in `floors` although
+    it sat OUTSIDE its 2x ledger band (it qualified via the
+    below-own-pass clause), and a reader had to cross-check
+    `floor_anchor` against git history to notice. Emit, for EVERY
+    measured re-time, which clause admitted it (or that none did) plus
+    its ratio to the ledger anchor, so the artifact classifies itself:
+
+      basis: "below_pass" | "fast_tol" | "in_band" | "inverted"
+             (first matching clause, in split_floors order;
+             "inverted" = admitted by no clause -> floors_unavailable)
+      band_ratio: measured / ledger-min, 3dp (None when no ledger
+             entry exists for the query at this sf)
+      in_band: band_ratio <= 2.0 (False when no anchor)
+    """
+    priors = priors or {}
+    out: dict[str, dict] = {}
+    for n, v in measured.items():
+        if n not in times:
+            continue
+        prior = priors.get(n)
+        if v <= times[n]:
+            basis = "below_pass"
+        elif times[n] < EARLY_FLOOR_MAX_SEC and v <= times[n] * (
+            1.0 + FAST_FLOOR_TOL
+        ):
+            basis = "fast_tol"
+        elif prior and v <= 2.0 * prior:
+            basis = "in_band"
+        else:
+            basis = "inverted"
+        ratio = round(v / prior, 3) if prior else None
+        out[n] = {
+            "basis": basis,
+            "band_ratio": ratio,
+            "in_band": bool(ratio is not None and ratio <= 2.0),
+        }
+    return out
 
 
 def main() -> None:
@@ -536,6 +645,11 @@ def main() -> None:
         merge_floor_measurements(floors_early, measured_floors),
         prior_mins,
     )
+    floors_basis = classify_floors(
+        times,
+        merge_floor_measurements(floors_early, measured_floors),
+        prior_mins,
+    )
     floor_anchor = {
         n: prior_mins[n] for n in floor_names if n in prior_mins
     }
@@ -546,6 +660,7 @@ def main() -> None:
     evidence = dict(times)
     for n, v in merge_floor_measurements(floors_early, measured_floors).items():
         evidence[n] = min(evidence.get(n, float("inf")), v)
+    warn_if_tree_dirty(repo_dir)
     update_ledger_mins(sf, evidence, repo_dir)
 
     total = round(sum(times.values()), 3)
@@ -562,6 +677,7 @@ def main() -> None:
         "queries": times,
         "floors": floors,
         "floors_unavailable": floors_unavailable,
+        "floors_basis": floors_basis,
         "floor_anchor": floor_anchor,
         "floors_early": floors_early,
         "floors_early_at_sec": floors_early_at,
@@ -585,6 +701,18 @@ def main() -> None:
         "unit": "sec",
         "queries": slowest,
         "floors": floors,
+        # self-adjudicating basis (VERDICT r13 item 3), compact form:
+        # "clause" or "clause:band-ratio" per measured re-time, so the
+        # driver-tail artifact classifies every floor without git
+        # archaeology (full dicts live in BENCH_FULL.json)
+        "floors_basis": {
+            n: (
+                b["basis"]
+                if b["band_ratio"] is None
+                else f"{b['basis']}:{b['band_ratio']}"
+            )
+            for n, b in floors_basis.items()
+        },
         # names only in the compact line (the measured-but-inverted
         # values live in BENCH_FULL.json) to stay under the driver tail
         "floors_unavailable": sorted(floors_unavailable),

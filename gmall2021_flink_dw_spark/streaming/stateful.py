@@ -531,7 +531,6 @@ def _jump_bucket_fn(
     gap_us = SESSION_GAP_S * 1_000_000
     timeout_us = JUMP_TIMEOUT_S * 1_000_000
     wm_ms = state.getCurrentWatermarkMs()
-    wm_us = wm_ms * 1000
     su, sl, sp, spe = _state_arrays(state, 4)
     out_u: list = []
     out_e: list = []
@@ -540,8 +539,14 @@ def _jump_bucket_fn(
     def _flush_expired(u, l, p, pe):
         """Emit + clear every pending whose bound the watermark passed
         (keep last_us: the session context must survive — see the
-        per-key kernel's timeout comment)."""
-        exp = (p != _NO_PEND) & (p + timeout_us <= wm_us)
+        per-key kernel's timeout comment). The condition mirrors the
+        per-key timer bound exactly — fires at (pend+timeout)//1000 + 1
+        ms, STRICTLY after the boundary — so an on-time successor at
+        ts == pend+timeout in a later micro-batch still cancels the
+        bounce, matching the batch oracle's strict gap > timeout rule
+        (ADVICE r13: `<=` at the exact boundary emitted a bounce the
+        per-key layout would not)."""
+        exp = (p != _NO_PEND) & ((p + timeout_us) // 1000 < wm_ms)
         if exp.any():
             out_u.append(u[exp])
             out_e.append(pe[exp])

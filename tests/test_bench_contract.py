@@ -266,3 +266,110 @@ def test_split_floors_ledger_band_accepts_inverted_retime() -> None:
     # and without priors, q_fast inverts as before (backward compat)
     f2, u2 = bench.split_floors(times, measured)
     assert "q_fast" in u2 and "q_bad" in f2
+
+
+def test_classify_floors_bases_and_band_ratio() -> None:
+    """VERDICT r13 item 3: the artifact must classify every floor by
+    the clause that admitted it plus its ratio to the ledger anchor —
+    the r13 artifact listed dedup_simhash's 6.772 in `floors` (below
+    its own pass) while sitting at 2.21x of its ledger min, and only
+    git archaeology revealed it."""
+    times = {"below": 5.0, "fast": 1.4, "band": 1.109, "inv": 3.0,
+             "simhash": 7.0}
+    measured = {"below": 4.0,      # <= pass
+                "fast": 1.45,      # sub-2s within tolerance
+                "band": 1.31,      # > pass but inside 2x ledger band
+                "inv": 3.5,        # > pass, no anchor: inverted
+                "simhash": 6.772}  # <= pass but OUTSIDE its band
+    priors = {"below": 3.0, "band": 0.954, "simhash": 3.069}
+    basis = bench.classify_floors(times, measured, priors)
+    assert basis["below"] == {
+        "basis": "below_pass", "band_ratio": 1.333, "in_band": True}
+    assert basis["fast"]["basis"] == "fast_tol"
+    assert basis["fast"]["band_ratio"] is None
+    assert basis["fast"]["in_band"] is False
+    assert basis["band"] == {
+        "basis": "in_band", "band_ratio": 1.373, "in_band": True}
+    assert basis["inv"] == {
+        "basis": "inverted", "band_ratio": None, "in_band": False}
+    # the r13 ambiguity, now self-adjudicating: admitted below_pass,
+    # visibly out of band
+    assert basis["simhash"]["basis"] == "below_pass"
+    assert basis["simhash"]["band_ratio"] == 2.207
+    assert basis["simhash"]["in_band"] is False
+    # classification agrees with split_floors' partition
+    floors, unavailable = bench.split_floors(times, measured, priors)
+    for n, b in basis.items():
+        assert (b["basis"] != "inverted") == (n in floors)
+
+
+def test_ledger_update_corrupt_ledger_not_clobbered(tmp_path) -> None:
+    """ADVICE r13: a present-but-corrupt BENCH_MINS.json must not be
+    overwritten with only this run's evidence (that would wipe every
+    other sf bucket, all history minima, and the resets section); the
+    evidence goes to a side file and the ledger stays for recovery."""
+    path = tmp_path / "BENCH_MINS.json"
+    path.write_text("{corrupt json!")
+    out = bench.update_ledger_mins(0.1, {"q_a": 1.5}, str(tmp_path))
+    assert out == {}
+    assert path.read_text() == "{corrupt json!"  # untouched
+    side = json.loads((tmp_path / "BENCH_MINS.json.rejected").read_text())
+    assert side == {"sf0.1": {"q_a": 1.5}}
+    # a MISSING ledger still seeds fresh (first-run path unchanged)
+    fresh_dir = tmp_path / "fresh"
+    fresh_dir.mkdir()
+    out2 = bench.update_ledger_mins(0.1, {"q_a": 1.5}, str(fresh_dir))
+    assert out2 == {"q_a": 1.5}
+
+
+def test_warn_if_tree_dirty(tmp_path, capsys) -> None:
+    """ADVICE r13: the ledger merge logs a warning when non-artifact
+    files are modified (uncommitted-plan evidence entering the
+    monotone ledger); artifact/ledger churn alone stays quiet."""
+    import subprocess
+
+    def git(*a):
+        subprocess.run(["git", *a], cwd=tmp_path, check=True,
+                       capture_output=True)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    (tmp_path / "plan.py").write_text("x = 1\n")
+    (tmp_path / "BENCH_MINS.json").write_text("{}\n")
+    git("add", "-A")
+    git("commit", "-qm", "seed")
+    assert bench.warn_if_tree_dirty(str(tmp_path)) is False
+    # artifact-only churn (what bench itself writes): no warning
+    (tmp_path / "BENCH_MINS.json").write_text("{\"sf0.1\": {}}\n")
+    (tmp_path / "BENCH_FULL_sf0.01.json").write_text("{}\n")
+    assert bench.warn_if_tree_dirty(str(tmp_path)) is False
+    # a modified plan file: warn
+    (tmp_path / "plan.py").write_text("x = 2\n")
+    assert bench.warn_if_tree_dirty(str(tmp_path)) is True
+    assert "uncommitted" in capsys.readouterr().err
+    # non-repo dir (pytest's parent tmp dir is outside any repo):
+    # quiet no-op
+    assert bench.warn_if_tree_dirty(str(tmp_path.parent)) is False
+
+
+def test_gen_bench_mins_rejects_unresolvable_reset_commit() -> None:
+    """ADVICE r13: a reset whose commit doesn't resolve used to apply
+    NO reset silently (order.get(..., -1) falsified the drop),
+    resurrecting pre-reset minima — it must be a hard error."""
+    import sys
+    sys.path.insert(0, "tools")
+    try:
+        import gen_bench_mins as g
+    finally:
+        sys.path.pop(0)
+    import pytest
+
+    with pytest.raises(SystemExit, match="does not resolve"):
+        g._resolve_commit("not-a-real-ref-xyz")
+    # a real sha resolves to itself (full form)
+    import subprocess
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=g.REPO,
+        capture_output=True, text=True, check=True).stdout.strip()
+    assert g._resolve_commit(head[:10]) == head

@@ -368,3 +368,38 @@ def test_new_user_bucket_fn_multiuser_multibatch(pairs, n_batches, rng):
         if r.is_new == "1"
     )
     assert got_new == sorted(firsts.items())
+
+
+def test_jump_bucket_fn_exact_boundary_successor_cancels():
+    """ADVICE r13 (stateful.py _flush_expired): at the EXACT boundary
+    (watermark == pend + timeout) the bucketed sweep must NOT flush —
+    the per-key timer fires strictly after the bound, so an on-time
+    successor arriving at ts == pend + timeout in a later micro-batch
+    still cancels the bounce (batch oracle: strict gap > timeout).
+
+    Staged so the property tests can't reach it (they cut batches in
+    (ts, user) order): batch 1 = A's entry at 0 plus user 3's event at
+    exactly TIMEOUT (watermark lands exactly on A's bound at batch
+    end), batch 2 = user 2's row (its post-merge sweep runs with
+    wm == A's bound and A's pending still live), batch 3 = A's
+    on-time successor at ts == TIMEOUT. Old `<=` sweep flushed A in
+    batch 2; strict `<` must not."""
+    t = _TIMEOUT_US
+    b1 = [_mk_user_rows([(1, 0), (3, t)])]
+    b2 = _mk_user_rows([(2, t)])
+    b2["event_id"] = [2]
+    b3 = _mk_user_rows([(1, t)])
+    b3["event_id"] = [3]
+    got = _run_bucket_machine(_jump_bucket_fn, [b1, [b2], [b3]])
+    got_pairs = (
+        sorted(zip((int(u) for u in got["user_id"]), (int(x) for x in got["ts_us"])))
+        if len(got)
+        else []
+    )
+    # A (user 1): successor gap == timeout, not > timeout -> no bounce.
+    # The old `<=` sweep emitted a spurious (1, 0) during batch 2's
+    # post-merge sweep (wm == A's bound exactly, successor not yet
+    # seen); strict `<` holds the pending until the successor cancels
+    # it. A's successor sits within the session gap -> not an entry.
+    # Users 2 and 3: lone entries -> bounce at end-of-stream.
+    assert got_pairs == [(2, t), (3, t)]

@@ -51,6 +51,24 @@ def committed_versions(path: str) -> list[tuple[str, dict]]:
     return out
 
 
+def _resolve_commit(ref: str) -> str:
+    """Resolve a reset's commit ref to a full sha, or die loudly.
+
+    ADVICE r13: a reset whose commit is missing, abbreviated, or not in
+    history silently applied NO reset (order.get(..., -1) made the drop
+    condition false), resurrecting pre-reset minima from the old plan —
+    the exact band-poisoning failure the resets mechanism exists to
+    prevent. An unresolvable reset is a hard error, never a no-op."""
+    try:
+        return _git("rev-parse", "--verify", f"{ref}^{{commit}}").strip()
+    except subprocess.CalledProcessError:
+        raise SystemExit(
+            f"reset commit {ref!r} does not resolve to a commit in this "
+            "repo — fix the `resets` entry in BENCH_MINS.json (full sha "
+            "of the plan-change commit) and rerun"
+        )
+
+
 def main() -> None:
     resets: dict[str, dict] = {}
     if os.path.exists(LEDGER):
@@ -61,6 +79,18 @@ def main() -> None:
     # reset commit is dropped for that query)
     all_shas = _git("log", "--format=%H", "--reverse").split()
     order = {sha: i for i, sha in enumerate(all_shas)}
+
+    # Resolve every reset commit UP FRONT (full sha, must be in this
+    # history) so a typo cannot silently disable the reset.
+    reset_order: dict[str, int] = {}
+    for q, r in resets.items():
+        sha = _resolve_commit(str(r.get("commit", "")))
+        if sha not in order:
+            raise SystemExit(
+                f"reset commit {sha} for {q!r} resolves but is not in "
+                "`git log` history — wrong branch or garbage ref"
+            )
+        reset_order[q] = order[sha]
 
     mins: dict[str, dict[str, float]] = {}
     artifact_names = sorted(
@@ -83,10 +113,7 @@ def main() -> None:
                     if isinstance(v, (int, float)) and v > 0:
                         evidence[q] = min(evidence.get(q, float("inf")), v)
             for q, v in evidence.items():
-                r = resets.get(q)
-                if r and order.get(sha, 0) < order.get(
-                    r.get("commit", ""), -1
-                ):
+                if q in reset_order and order.get(sha, 0) < reset_order[q]:
                     continue  # pre-reset evidence: the old plan's min
                 bucket[q] = round(min(bucket.get(q, float("inf")), v), 3)
 

@@ -373,3 +373,33 @@ def test_gen_bench_mins_rejects_unresolvable_reset_commit() -> None:
         ["git", "rev-parse", "HEAD"], cwd=g.REPO,
         capture_output=True, text=True, check=True).stdout.strip()
     assert g._resolve_commit(head[:10]) == head
+
+
+def test_committed_ledger_resets_are_recorded_and_resolvable() -> None:
+    """VERDICT r13 item 2: queries replanned since their anchor commit
+    carry `resets` entries (round + full-sha commit + reason), each
+    commit resolvable in history — an unresolvable reset must never
+    silently apply no reset (see gen_bench_mins._resolve_commit)."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_MINS.json")) as f:
+        doc = json.load(f)
+    resets = doc.get("resets", {})
+    # the r13-adjudicated set: the two judge-named queries plus the
+    # r12-replan anchors the audit (tools/audit_ledger_resets.py)
+    # found predating their plan-change commits
+    for q in ("dedup_simhash", "streaming_cdc_upsert",
+              "kafka_wire_events", "dedup_semantic", "corpus_clean",
+              "dedup_clusters", "dedup_paragraphs", "ann_topk",
+              "ann_bucketed"):
+        assert q in resets, q
+    for q, r in resets.items():
+        assert r.get("reason") and isinstance(r.get("round"), int), q
+        sha = r.get("commit", "")
+        assert len(sha) == 40, (q, sha)
+        out = subprocess.run(
+            ["git", "rev-parse", "--verify", f"{sha}^{{commit}}"],
+            cwd=repo, capture_output=True, text=True)
+        assert out.returncode == 0 and out.stdout.strip() == sha, q

@@ -16,6 +16,15 @@ query). Resets are honored by dropping history BEFORE the reset commit
 for the named query (the `resets` section of the existing ledger is
 preserved verbatim and re-applied).
 
+Existing ledger entries for NON-reset queries are min-merged in, not
+discarded: bench.py min-merges live evidence on every run, so the
+ledger can hold honest minima that no committed artifact carries (two
+runs between commits keep only the last artifact but both ledger
+merges); a pure artifact rebuild would silently RAISE those queries'
+anchors. A query named in `resets` is the one case where the existing
+entry is deliberately dropped — it is old-plan evidence by
+adjudication, and its anchor comes from post-reset history alone.
+
 Run from the repo root: python tools/gen_bench_mins.py
 """
 
@@ -71,9 +80,11 @@ def _resolve_commit(ref: str) -> str:
 
 def main() -> None:
     resets: dict[str, dict] = {}
+    existing: dict[str, dict] = {}
     if os.path.exists(LEDGER):
         with open(LEDGER) as f:
-            resets = json.load(f).get("resets", {})
+            existing = json.load(f)
+        resets = existing.get("resets", {})
 
     # commit order index, to honor resets (history strictly BEFORE the
     # reset commit is dropped for that query)
@@ -116,6 +127,18 @@ def main() -> None:
                 if q in reset_order and order.get(sha, 0) < reset_order[q]:
                     continue  # pre-reset evidence: the old plan's min
                 bucket[q] = round(min(bucket.get(q, float("inf")), v), 3)
+
+    # Min-merge existing ledger entries for non-reset queries (live
+    # bench evidence that never reached a committed artifact — see
+    # module docstring); reset queries keep post-reset history only.
+    for key, prior_bucket in existing.items():
+        if not key.startswith("sf") or not isinstance(prior_bucket, dict):
+            continue
+        bucket = mins.setdefault(key, {})
+        for q, v in prior_bucket.items():
+            if q in resets or not isinstance(v, (int, float)) or v <= 0:
+                continue
+            bucket[q] = round(min(bucket.get(q, float("inf")), v), 3)
 
     doc = {
         "_doc": (

@@ -487,7 +487,58 @@ def classify_floors(
     return out
 
 
+def _solo_floor_subprocess(
+    name: str, sf_dir: str, reps: int = 3, timeout_s: int = 900
+) -> float | None:
+    """Re-time one query in a fresh python/JVM process (bench.py
+    --solo): warm-up rep + min-of-reps, nothing else in the session.
+    Returns None on any failure so the caller can fall back to the
+    in-JVM loop (honestly labeled)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--solo", name,
+             str(reps)],
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+        for ln in out.stdout.splitlines():
+            if ln.startswith("SOLO_RESULT "):
+                return float(json.loads(ln[len("SOLO_RESULT "):])["min"])
+    except (OSError, subprocess.TimeoutExpired, ValueError):
+        pass
+    return None
+
+
+def solo_main(name: str, reps: int) -> None:
+    """`bench.py --solo NAME [reps]`: the fresh-process floor protocol
+    (VERDICT r13 item 4). One query, own session: warm-up rep (JIT +
+    parquet footers), then min-of-reps with clearCache between."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    spark = get_spark("bench-solo")
+    fn = registry[name].fn
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(round(time.perf_counter() - t0, 3))
+        spark.catalog.clearCache()
+    print(
+        "SOLO_RESULT "
+        + json.dumps({"query": name, "min": min(samples), "samples": samples})
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--solo":
+        solo_main(
+            sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3
+        )
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -623,7 +674,27 @@ def main() -> None:
     floor_set |= set(PINNED_FLOORS) & set(times)
     floor_names = sorted(floor_set, key=lambda n: times[n], reverse=True)[:10]
     measured_floors: dict[str, float] = {}
+    floors_protocol: dict[str, str] = {}
     for name in floor_names:
+        # VERDICT r13 item 4: the same-JVM session-end re-time
+        # penalizes precisely the stateful streaming queries — the
+        # session has accumulated memory-sink tables, state dirs, and
+        # GC pressure from three full passes (streaming_heavy_hitters
+        # read 8.811 vs its own in-suite pass of 4.497 in the r13
+        # driver artifact; jump_detect reps at 10x inverted 12 -> 107 s
+        # for the same reason, BASELINE.md). Streaming-tagged floors
+        # run in a FRESH PROCESS (the scaling protocol's rule); all
+        # other queries stay in-JVM where the shared warm-up is an
+        # advantage, not a bias.
+        if "streaming" in registry[name].tags:
+            solo = _solo_floor_subprocess(name, sf_dir)
+            if solo is not None:
+                measured_floors[name] = solo
+                floors_protocol[name] = "fresh_process"
+                continue
+            floors_protocol[name] = "in_jvm_fallback"
+        else:
+            floors_protocol[name] = "in_jvm"
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -678,6 +749,7 @@ def main() -> None:
         "floors": floors,
         "floors_unavailable": floors_unavailable,
         "floors_basis": floors_basis,
+        "floors_protocol": floors_protocol,
         "floor_anchor": floor_anchor,
         "floors_early": floors_early,
         "floors_early_at_sec": floors_early_at,

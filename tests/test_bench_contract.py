@@ -403,3 +403,18 @@ def test_committed_ledger_resets_are_recorded_and_resolvable() -> None:
             ["git", "rev-parse", "--verify", f"{sha}^{{commit}}"],
             cwd=repo, capture_output=True, text=True)
         assert out.returncode == 0 and out.stdout.strip() == sha, q
+
+
+def test_solo_cli_dispatch(monkeypatch) -> None:
+    """VERDICT r13 item 4: `bench.py --solo NAME [reps]` is the
+    fresh-process floor protocol for streaming-tagged queries; main()
+    must route to it without touching the suite path."""
+    import sys
+
+    calls = []
+    monkeypatch.setattr(bench, "solo_main", lambda n, r: calls.append((n, r)))
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--solo", "q_x"])
+    bench.main()
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--solo", "q_y", "6"])
+    bench.main()
+    assert calls == [("q_x", 3), ("q_y", 6)]

@@ -487,6 +487,41 @@ def classify_floors(
     return out
 
 
+_BASIS_CODES = {
+    "below_pass": "bp",
+    "fast_tol": "ft",
+    "in_band": "ib",
+    "inverted": "inv",
+}
+
+
+def _compact_basis(
+    floors_basis: dict[str, dict], cap: int = 4
+) -> dict[str, str]:
+    """Compact floors_basis for the size-bounded final stdout line:
+    short clause codes, worst entries first (out-of-band before
+    in-band, then band-ratio descending, anchorless last within each
+    group), capped at `cap` names with a `+N` overflow marker."""
+    ranked = sorted(
+        floors_basis.items(),
+        key=lambda kv: (
+            kv[1]["in_band"],
+            -(kv[1]["band_ratio"] if kv[1]["band_ratio"] is not None else -1),
+        ),
+    )
+    out = {
+        n: (
+            _BASIS_CODES[b["basis"]]
+            if b["band_ratio"] is None
+            else f"{_BASIS_CODES[b['basis']]}:{b['band_ratio']}"
+        )
+        for n, b in ranked[:cap]
+    }
+    if len(ranked) > cap:
+        out["+"] = str(len(ranked) - cap)
+    return out
+
+
 def _solo_floor_subprocess(
     name: str, sf_dir: str, reps: int = 3, timeout_s: int = 900
 ) -> float | None:
@@ -774,17 +809,14 @@ def main() -> None:
         "queries": slowest,
         "floors": floors,
         # self-adjudicating basis (VERDICT r13 item 3), compact form:
-        # "clause" or "clause:band-ratio" per measured re-time, so the
-        # driver-tail artifact classifies every floor without git
-        # archaeology (full dicts live in BENCH_FULL.json)
-        "floors_basis": {
-            n: (
-                b["basis"]
-                if b["band_ratio"] is None
-                else f"{b['basis']}:{b['band_ratio']}"
-            )
-            for n, b in floors_basis.items()
-        },
+        # "code" or "code:band-ratio" (bp=below_pass, ft=fast_tol,
+        # ib=in_band, inv=inverted) for the 4 MOST SEVERE entries —
+        # out-of-band first, then by ratio descending — so the
+        # driver-tail artifact classifies exactly the floors that
+        # would otherwise need git archaeology; the full per-floor
+        # dicts live in BENCH_FULL.json. Capped at 4 to hold the
+        # adversarial <1500-char final-line bound (test pinned).
+        "floors_basis": _compact_basis(floors_basis, cap=4),
         # names only in the compact line (the measured-but-inverted
         # values live in BENCH_FULL.json) to stay under the driver tail
         "floors_unavailable": sorted(floors_unavailable),

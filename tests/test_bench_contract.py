@@ -33,6 +33,17 @@ def _worst_case_final_line() -> str:
             "unit": "sec",
             "queries": slowest,
             "floors": floors,
+            # worst-case compact basis: the capped 4-entry map with
+            # wide ratios + overflow marker (r14: the basis map rides
+            # the final line so the driver artifact self-adjudicates;
+            # bench._compact_basis guarantees the cap)
+            "floors_basis": bench._compact_basis(
+                {
+                    n: {"basis": "below_pass", "band_ratio": 9999.999,
+                        "in_band": False}
+                    for n in by_len[:10]
+                }
+            ),
             "floors_unavailable": unavailable,
             "floor_anchor": anchor,
             "sf": 100.0,
@@ -418,3 +429,27 @@ def test_solo_cli_dispatch(monkeypatch) -> None:
     monkeypatch.setattr(sys, "argv", ["bench.py", "--solo", "q_y", "6"])
     bench.main()
     assert calls == [("q_x", 3), ("q_y", 6)]
+
+
+def test_compact_basis_ranks_and_caps() -> None:
+    """The compact final-line basis map carries the entries a reader
+    most needs — out-of-band first, highest band-ratio first — capped
+    with an explicit overflow marker."""
+    fb = {
+        "ok1": {"basis": "below_pass", "band_ratio": 1.1, "in_band": True},
+        "ok2": {"basis": "in_band", "band_ratio": 1.9, "in_band": True},
+        "bad_hi": {"basis": "below_pass", "band_ratio": 2.8, "in_band": False},
+        "bad_lo": {"basis": "inverted", "band_ratio": 2.2, "in_band": False},
+        "no_anchor": {"basis": "inverted", "band_ratio": None,
+                      "in_band": False},
+    }
+    out = bench._compact_basis(fb, cap=4)
+    names = [n for n in out if n != "+"]
+    # all three out-of-band entries present, worst ratio first,
+    # anchorless last within the out-of-band group
+    assert names[:3] == ["bad_hi", "bad_lo", "no_anchor"]
+    assert out["bad_hi"] == "bp:2.8"
+    assert out["no_anchor"] == "inv"
+    assert out["+"] == "1"  # one in-band entry overflowed the cap
+    # no marker when everything fits
+    assert "+" not in bench._compact_basis(fb, cap=5)

@@ -285,7 +285,12 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stale, ignore_errors=True)
         _CDC_STREAM_DIRS.remove(stale)
     cl = orders_changelog(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix=f"cdc_stream_{_uuid.uuid4().hex[:8]}_")
+    from gmall2021_flink_dw_spark.scratch import stream_scratch_base
+
+    base = tempfile.mkdtemp(
+        prefix=f"cdc_stream_{_uuid.uuid4().hex[:8]}_",
+        dir=stream_scratch_base(),
+    )
     _CDC_STREAM_DIRS.append(base)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     topic_dir = os.path.join(base, "topic")

@@ -2886,7 +2886,12 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for stale in list(_DEDUP_STREAM_DIRS):
         shutil.rmtree(stale, ignore_errors=True)
         _DEDUP_STREAM_DIRS.remove(stale)
-    base = tempfile.mkdtemp(prefix=f"dedup_stream_{_uuid.uuid4().hex[:8]}_")
+    from gmall2021_flink_dw_spark.scratch import stream_scratch_base
+
+    base = tempfile.mkdtemp(
+        prefix=f"dedup_stream_{_uuid.uuid4().hex[:8]}_",
+        dir=stream_scratch_base(),
+    )
     _DEDUP_STREAM_DIRS.append(base)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     topic_dir = os.path.join(base, "topic")
@@ -4320,7 +4325,12 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for stale in list(_HH_STREAM_DIRS):
         shutil.rmtree(stale, ignore_errors=True)
         _HH_STREAM_DIRS.remove(stale)
-    base = tempfile.mkdtemp(prefix=f"hh_stream_{_uuid.uuid4().hex[:8]}_")
+    from gmall2021_flink_dw_spark.scratch import stream_scratch_base
+
+    base = tempfile.mkdtemp(
+        prefix=f"hh_stream_{_uuid.uuid4().hex[:8]}_",
+        dir=stream_scratch_base(),
+    )
     _HH_STREAM_DIRS.append(base)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     topic_dir = os.path.join(base, "topic")

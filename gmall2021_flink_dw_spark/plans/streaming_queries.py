@@ -560,10 +560,12 @@ def _fresh_stream_dir(prefix: str) -> str:
     import shutil
     import tempfile
 
+    from gmall2021_flink_dw_spark.scratch import stream_scratch_base
+
     for stale in list(_ROUTER_DIRS):
         shutil.rmtree(stale, ignore_errors=True)
         _ROUTER_DIRS.remove(stale)
-    base = tempfile.mkdtemp(prefix=prefix)
+    base = tempfile.mkdtemp(prefix=prefix, dir=stream_scratch_base())
     _ROUTER_DIRS.append(base)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     return base

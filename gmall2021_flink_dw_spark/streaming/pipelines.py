@@ -85,14 +85,36 @@ def product_stats_transform(df: DataFrame, window_s: int = 3600) -> DataFrame:
     )
 
 
+_MEMORY_CKPTS: list[str] = []
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> StreamingQuery:
-    """K5/test sink: memory table + synchronous drain."""
+    """K5/test sink: memory table + synchronous drain.
+
+    The checkpoint goes under scratch.stream_scratch_base() (r14):
+    without an explicit location Spark creates the temp checkpoint under
+    java.io.tmpdir, whose per-batch WAL/commit fsyncs cost ~1 s of pure
+    latency per replay on this box's ext4 /tmp (see scratch.py). Same
+    reclaim-at-next-call lifecycle as the topic scratch dirs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from gmall2021_flink_dw_spark.scratch import stream_scratch_base
+
+    for stale in list(_MEMORY_CKPTS):
+        shutil.rmtree(stale, ignore_errors=True)
+        _MEMORY_CKPTS.remove(stale)
+    ckpt = tempfile.mkdtemp(prefix=f"memckpt_{name}_", dir=stream_scratch_base())
+    _MEMORY_CKPTS.append(ckpt)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.processAllAvailable()

@@ -914,12 +914,30 @@ def streaming_gmv_update_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
     )
+    # Stage all four replay batches in ONE pass (r14, guide §2.3 — the
+    # late_data_drop pattern): the four sequential coalesce(1) writes
+    # each re-scanned and re-filtered orders, four driver-synchronized
+    # jobs for one partitioning decision. repartition(4, "__batch")
+    # hash-routes every batch value entirely to one task, so each
+    # partition dir holds exactly ONE file — required here (unlike
+    # late_data_drop): the update-mode emission log is per TRIGGER, and
+    # the oracle models exactly one trigger per orderkey%4 batch, so a
+    # batch must never split across files.
+    staged = orders.withColumn(
+        "__batch", F.pmod("o_orderkey", F.lit(4)).cast("int")
+    )
+    staged.repartition(4, "__batch").write.mode("overwrite").partitionBy(
+        "__batch"
+    ).parquet(topic)
     paths = []
     for b in range(4):
+        src = os.path.join(topic, f"__batch={b}")
         pth = os.path.join(topic, f"batch{b}")
-        orders.filter(F.pmod("o_orderkey", F.lit(4)) == b).coalesce(
-            1
-        ).write.mode("overwrite").parquet(pth)
+        if os.path.isdir(src):
+            os.rename(src, pth)
+        else:
+            os.makedirs(pth, exist_ok=True)  # empty batch: no trigger,
+            # and the oracle's per_batch has no rows for it either
         paths.append(pth)
     now = os.path.getmtime(paths[0])
     for i, pth in enumerate(paths):

@@ -3825,8 +3825,8 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and id-checksums of the compacted copy must match the oracle's "
     "recompute from the virgin parquet, and compact_ok pins the "
     "file-count collapse (after-count strictly below before, at most "
-    "one per day+task) measured via input_file_name() on both reads — "
-    "a flag, since the oracle cannot see the filesystem. The "
+    "one per day+task) measured from the directory layout — a flag, "
+    "since the oracle cannot see the filesystem. The "
     "driver-checkable form of a maintenance op: data bit-identical, "
     "layout observably better.",
     tags=("source", "maintenance", "partitioning"),
@@ -3851,11 +3851,24 @@ def lake_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(messy_dir)
     )
     messy = spark.read.parquet(messy_dir)
-    # input_file_name() is non-deterministic, so it must be projected
-    # before any aggregate touches it
-    files_before = (
-        messy.select(F.input_file_name().alias("f")).distinct().count()
-    )
+
+    # File counts are pure layout metadata: every part file the writer
+    # leaves holds >= 1 row (parquet tasks emit no empty files), so a
+    # directory walk counts exactly the files the previous
+    # input_file_name()-distinct scan counted — without re-reading
+    # every row of the table twice (r14, guide §6: listing/manifest
+    # metadata, not data scans, is how a real lake answers layout
+    # questions; the two counting scans were ~half this query's reads).
+    def _layout_counts(d: str) -> tuple[int, int]:
+        nf = nd = 0
+        for root, dirs, files in os.walk(d):
+            nd += sum(1 for x in dirs if x.startswith("dt="))
+            nf += sum(
+                1 for x in files if not x.startswith(("_", "."))
+            )
+        return nf, nd
+
+    files_before, _ = _layout_counts(messy_dir)
     # the cure: cluster rows by partition key so each day is written by
     # one task -> one file per day (plus header), then rewrite
     (
@@ -3865,14 +3878,7 @@ def lake_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(tidy_dir)
     )
     tidy = spark.read.parquet(tidy_dir)
-    files_after, n_days = (
-        tidy.select(F.input_file_name().alias("f"), "dt")
-        .agg(
-            F.countDistinct("f").alias("nf"),
-            F.countDistinct("dt").alias("nd"),
-        )
-        .head()
-    )
+    files_after, n_days = _layout_counts(tidy_dir)
     ok = bool(files_after < files_before and files_after <= 2 * n_days)
     return (
         tidy.groupBy("dt")

@@ -131,6 +131,14 @@ def write_dws_parquet(
     deterministic file naming per epoch)."""
     q = (
         stream_df.withColumn("dt", F.substring("stt", 1, 10))
+        # Cluster by the partition key before the partitioned sink
+        # (guide §6): without this every state-store task writes a file
+        # into every day directory it touches (~tasks x days tiny
+        # files); repartition("dt") routes each day to one writer task
+        # -> ~one file per day per micro-batch, and the read-back scan
+        # pays file-count ~ days, not tasks x days. Same fix a real
+        # ClickHouse/lake sink needs at 100 TB.
+        .repartition(F.col("dt"))
         .writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)

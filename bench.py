@@ -232,6 +232,33 @@ EARLY_FLOOR_MAX_SEC = 2.0
 LEDGER_NAME = "BENCH_MINS.json"
 
 
+# Box-state probe (VERDICT r14 item 1): the r14 driver's 32-core run
+# was ambience-degraded (its own 8-core run beat it 2.3x) and nothing
+# in the artifact let a reader adjudicate that. This single-threaded
+# CPU burn is the probe the r14 session documented (which ran it at
+# module level via `python -c`, where global-name lookups make the
+# same loop ~2.5x slower: 0.35 s quiet / 0.65-0.86 s degraded). As a
+# function-local loop here the calibrated bands are ~0.17-0.25 s on a
+# quiet box of this VM class and ~0.35+ s with hypervisor steal /
+# co-tenant pressure. It runs before the suite, after every pass, and
+# before the floor re-times; every reading is stamped into
+# BENCH_FULL.json (`box_probe_sec`, with session-relative timestamps)
+# and the min/max pair rides the compact final line (`probe`), so the
+# artifact classifies its own ambience. The probe measures the box,
+# never the queries — it adds ~2 s total and touches no timed region.
+PROBE_ITERS = 5_000_000
+
+
+def box_probe(iters: int = PROBE_ITERS) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(iters):
+        x += i
+    if x < 0:  # unreachable; keeps the loop from being optimized away
+        print(x, file=sys.stderr)
+    return round(time.perf_counter() - t0, 3)
+
+
 def load_certification_priors(sf: float, repo_dir: str) -> dict[str, float]:
     """Per-query certification priors for the 2x floor-selection rule,
     the early-floor gate, and floor_anchor.
@@ -564,7 +591,16 @@ def solo_main(name: str, reps: int) -> None:
         spark.catalog.clearCache()
     print(
         "SOLO_RESULT "
-        + json.dumps({"query": name, "min": min(samples), "samples": samples})
+        + json.dumps(
+            {
+                "query": name,
+                "min": min(samples),
+                "samples": samples,
+                # ambience reading for this fresh-process floor (same
+                # probe/bands as the suite's box_probe_sec)
+                "probe_sec": box_probe(),
+            }
+        )
     )
 
 
@@ -625,6 +661,17 @@ def main() -> None:
 
     times: dict[str, float] = {}
     session_t0 = time.perf_counter()
+    probes: list[dict[str, float]] = []
+
+    def take_probe(label: str) -> None:
+        p = box_probe()
+        probes.append(
+            {"at_sec": round(time.perf_counter() - session_t0, 1),
+             "sec": p, "label": label}
+        )
+        print(f"[bench] box_probe {label}: {p}s", file=sys.stderr, flush=True)
+
+    take_probe("pre_suite")
     floors_early: dict[str, float] = {}
     floors_early_at: dict[str, float] = {}
     for _pass in range(3):
@@ -651,6 +698,7 @@ def main() -> None:
         # storage pool fills across passes and later passes measure
         # eviction/GC pressure instead of the plans.
         spark.catalog.clearCache()
+        take_probe(f"after_pass{_pass}")
         if _pass == 0:
             # Mid-session floors for fast pinned queries (see
             # EARLY_FLOOR_MAX_SEC above): solo min-of-3 right after
@@ -708,6 +756,7 @@ def main() -> None:
     # pinned names also got a mid-session early floor after pass 1).
     floor_set |= set(PINNED_FLOORS) & set(times)
     floor_names = sorted(floor_set, key=lambda n: times[n], reverse=True)[:10]
+    take_probe("pre_floors")
     measured_floors: dict[str, float] = {}
     floors_protocol: dict[str, str] = {}
     for name in floor_names:
@@ -789,6 +838,7 @@ def main() -> None:
         "floors_early": floors_early,
         "floors_early_at_sec": floors_early_at,
         "anchors_skipped": anchors_skipped,
+        "box_probe_sec": probes,
         "sf": sf,
     }
     # dev runs at other scale factors must not clobber the committed
@@ -825,6 +875,16 @@ def main() -> None:
         "floor_anchor": {
             n: v for n, v in floor_anchor.items() if n in floors_unavailable
         },
+        # ambience self-adjudication (VERDICT r14 item 1): the min/max
+        # over every probe taken this session — quiet band for this VM
+        # class is ~0.17-0.25 s; readings past ~0.35 s mean the suite
+        # times are ambience-inflated and the ledger mins / floors are
+        # the numbers to trust. Full per-probe series with timestamps
+        # in BENCH_FULL.json.
+        "probe": [
+            min(p["sec"] for p in probes),
+            max(p["sec"] for p in probes),
+        ],
         "sf": sf,
         "n_queries": len(times),
         "full": full_name,

@@ -46,6 +46,8 @@ def _worst_case_final_line() -> str:
             ),
             "floors_unavailable": unavailable,
             "floor_anchor": anchor,
+            # r15: ambience probe min/max rides the final line
+            "probe": [9999.999, 9999.999],
             "sf": 100.0,
             "n_queries": len(bench.HEADLINE),
             "full": "BENCH_FULL.json",
@@ -453,3 +455,10 @@ def test_compact_basis_ranks_and_caps() -> None:
     assert out["+"] == "1"  # one in-band entry overflowed the cap
     # no marker when everything fits
     assert "+" not in bench._compact_basis(fb, cap=5)
+
+
+def test_box_probe_returns_positive_seconds() -> None:
+    # VERDICT r14 item 1: the ambience probe must be a real measurement
+    # (positive, sub-minute) and cheap enough to run between passes.
+    p = bench.box_probe(iters=100_000)
+    assert 0.0 <= p < 60.0

@@ -633,3 +633,34 @@ def test_streaming_keyword_stats_multibatch(spark):
             q.stop()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_late_data_drop_empty_bulk_group(spark, tmp_path):
+    """VERDICT r14 item 4 guard: when every on-time row sits exactly at
+    the max ts, the staged write never creates the bulk group (batch0)
+    and the mtime anchor must fall through to the heartbeat dir instead
+    of raising FileNotFoundError. The replay then emits nothing (the
+    only on-time window never closes), matching the oracle's closure
+    rule on the same degenerate input."""
+    from gmall2021_flink_dw_spark.plans.streaming_queries import (
+        streaming_late_data_drop,
+    )
+
+    rows = [
+        # on-time rows, ALL at one instant (>= the 2024-01-16 cutoff)
+        (1, "2024-01-20 12:00:00", 10, "click", 1.0, "{}"),
+        (2, "2024-01-20 12:00:00", 11, "view", 2.0, "{}"),
+        # stragglers before the cutoff
+        (3, "2024-01-02 08:00:00", 12, "click", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+        "event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf_dir = str(tmp_path / "sf_degenerate")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    df.coalesce(1).write.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = streaming_late_data_drop(spark, sf_dir)
+    assert out.count() == 0

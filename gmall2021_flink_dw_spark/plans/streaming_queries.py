@@ -227,7 +227,13 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pay_event_id", "src_event_id", F.col("p_user").alias("user_id"))
     name = f"sij_{uuid.uuid4().hex[:8]}"
     with _stream_state_partitions(spark, sf_dir):
-        q = run_to_memory(joined, name)
+        # final_flush=False (r15): an INNER stream-stream join emits on
+        # match during data batches; the watermark only bounds/evicts
+        # the two buffers, so the trailing no-data batch emits nothing
+        # and only re-commits both sides' state stores. Result-identical
+        # (asserted at sf0.001/sf0.01); 2.12 -> 1.48 s solo at sf0.1
+        # (0.70x).
+        q = run_to_memory(joined, name, final_flush=False)
         q.stop()
     return spark.table(name)
 
@@ -261,7 +267,16 @@ def streaming_uv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream_table(spark, sf_dir, "events")
         )
         name = f"suv_{uuid.uuid4().hex[:8]}"
-        q = run_to_memory(stream, name)
+        # final_flush=False (r15): emission is immediate (first event
+        # per (user, day) yields on the data invocation); the TTL timer
+        # only EVICTS expired members, never emits — so the trailing
+        # no-data batch contributes zero output rows and exists only to
+        # run that eviction one last time before stop. Skipping it is
+        # result-identical (asserted at sf0.001/sf0.01,
+        # tests/test_streaming.py::test_uv_dedup_no_final_flush_parity)
+        # and saves the per-bucket kernel round-trip + state-store
+        # commit cycle: 1.87 -> 1.27 s solo at sf0.1 (0.68x).
+        q = run_to_memory(stream, name, final_flush=False)
         q.stop()
     return spark.table(name)
 

@@ -664,3 +664,42 @@ def test_late_data_drop_empty_bulk_group(spark, tmp_path):
     df.coalesce(1).write.parquet(os.path.join(sf_dir, "events.parquet"))
     out = streaming_late_data_drop(spark, sf_dir)
     assert out.count() == 0
+
+
+def test_stream_table_schema_matches_batch_loader(spark):
+    """stream_table no longer builds the batch frame per invocation
+    (r15: one footer read); pin the schema parity the removed runtime
+    assert used to check — names AND types after ts normalization."""
+    for t in ("events", "orders", "documents"):
+        s = stream_table(spark, SF, t).schema
+        b = load_table(spark, SF, t).schema
+        assert [f.name for f in s.fields] == [f.name for f in b.fields], t
+        assert [f.dataType for f in s.fields] == [
+            f.dataType for f in b.fields
+        ], t
+
+
+def test_uv_dedup_no_final_flush_parity(spark):
+    """r15: streaming_uv_dedup skips the trailing no-data micro-batch
+    (final_flush=False). The TTL timer only evicts state, never emits,
+    so the emitted row set must be identical with and without the
+    final flush — and the session conf must be restored afterwards."""
+    from gmall2021_flink_dw_spark.streaming.stateful import (
+        uv_dedup_ttl_stream_bucketed,
+    )
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before = spark.conf.get(key)
+    out = {}
+    for flush in (True, False):
+        stream = uv_dedup_ttl_stream_bucketed(stream_table(spark, SF, "events"))
+        q = run_to_memory(stream, f"uvflush_{int(flush)}", final_flush=flush)
+        try:
+            out[flush] = _canon(
+                spark.table(f"uvflush_{int(flush)}").toPandas()
+            )
+        finally:
+            q.stop()
+    assert spark.conf.get(key) == before
+    assert len(out[True]) > 0
+    pd.testing.assert_frame_equal(out[True], out[False])

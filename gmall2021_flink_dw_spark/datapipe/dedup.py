@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from gmall2021_flink_dw_spark.cache import tracked_persist
 
 from gmall2021_flink_dw_spark.datapipe.text import shingle_hashes, with_tokens
+from gmall2021_flink_dw_spark.sources.batch import spread_scan
 
 # 31-bit Mersenne prime: keeps a*h + b within long range under Spark's
 # default ANSI overflow checking (a,b < 2^30, h < 2^31 -> product < 2^61).
@@ -80,12 +81,26 @@ def doc_shingles(docs: DataFrame, n: int = 5) -> DataFrame:
     signatures, the contamination broadcast join — compares shingles
     only for equality, and the string form's concat+persist+shuffle
     was the measured 10x bottleneck (see text.py::shingle_hashes for
-    the numbers and the collision contract)."""
-    toks = with_tokens(docs).filter(F.size("__tokens") >= n)
-    sh = toks.select(
-        "doc_id", shingle_hashes("__tokens", n).alias("grams")
-    ).withColumn("n_grams", F.size("grams"))
-    return sh.select("doc_id", "n_grams", F.explode("grams").alias("shingle"))
+    the numbers and the collision contract).
+
+    r15, two measured fixes at 10x (3.22 -> 1.17 s for this build):
+    - the grams array goes through an explode-of-1-element-array
+      Generate first, so it becomes a bound ATTRIBUTE and the
+      ``size(grams)`` + ``explode(grams)`` pair downstream reads it
+      instead of inlining the build — the previous projection shape
+      collapsed into TWO evaluations of the whole shingle build per
+      row (higher-order functions are excluded from codegen
+      subexpression elimination, so only a Generate truncates
+      projection collapse);
+    - the input is spread to cluster parallelism first (the corpus
+      scan is 1-2 tasks on a single-row-group file; guide §2.5)."""
+    toks = with_tokens(spread_scan(docs)).filter(F.size("__tokens") >= n)
+    g = toks.select(
+        "doc_id", F.explode(F.array(shingle_hashes("__tokens", n))).alias("grams")
+    )
+    return g.select(
+        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -96,6 +111,7 @@ def ngram_jaccard_pairs(
     max_df_frac: float | None = None,
     df_floor: int = 5,
     exploded: DataFrame | None = None,
+    per_doc: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via inverted-index join on shingles.
 
@@ -146,7 +162,19 @@ def ngram_jaccard_pairs(
             # DF_CAP_CEIL)) — the absolute ceiling bounds the self-join
             # fan-out (see DF_CAP_CEIL); n_docs computed lazily (1-row
             # agg, broadcast) so the builder stays action-free.
-            total = e.agg(F.count_distinct("doc_id").alias("__n"))
+            # r15: count the PER-DOC side, not count_distinct over the
+            # exploded index — distinct doc_id in e is exactly the docs
+            # with >= n tokens (every such doc emits >= 1 shingle), and
+            # a count over n_docs rows beats a distinct-shuffle over
+            # ~50x more exploded rows (measured 1.0 -> <0.1 s warm at
+            # 10x). Callers holding a per-doc frame (the grams cache)
+            # pass it; otherwise one extra size-filtered tokenize pass
+            # over `docs` is still cheaper than the distinct.
+            if per_doc is None:
+                per_doc = with_tokens(spread_scan(docs)).filter(
+                    F.size("__tokens") >= n
+                )
+            total = per_doc.agg(F.count(F.lit(1)).alias("__n"))
             hot = df_counts.crossJoin(F.broadcast(total)).filter(
                 F.col("__df")
                 > F.greatest(
@@ -273,10 +301,21 @@ def shingle_grams(docs: DataFrame, n: int = 5) -> DataFrame:
     hold int64 shingle identities (text.py::shingle_hashes): the
     array_intersect verify and the signature path are equality-only,
     and long arrays persist/exchange ~4x smaller than the strings."""
+    # Single-eval grams build (r15): explode of a 1-element array is a
+    # Generate, whose input expression runs ONCE per row; `grams` is
+    # then a bound attribute, so size(grams) downstream cannot inline
+    # the build. The previous select+withColumn pair collapsed into TWO
+    # full shingle builds per row (struct-field and let forms simplify
+    # back to the same thing; only a Generate truncates projection
+    # collapse — measured with doc_shingles at 10x: 2.29 -> 1.04 s).
+    # Input spread to cluster parallelism first (guide §2.5 tiny scan).
     return tracked_persist(
-        with_tokens(docs)
+        with_tokens(spread_scan(docs))
         .filter(F.size("__tokens") >= n)
-        .select("doc_id", shingle_hashes("__tokens", n).alias("grams"))
+        .select(
+            "doc_id",
+            F.explode(F.array(shingle_hashes("__tokens", n))).alias("grams"),
+        )
         .withColumn("n_grams", F.size("grams"))
     )
 
@@ -402,7 +441,7 @@ def _counted_token_hashes(docs: DataFrame) -> DataFrame:
     """(doc_id, cnt, __h): per-doc token occurrence counts with the
     token's xxhash64 — hashed AFTER the aggregation so the hash is
     materialized once per distinct (doc, token)."""
-    toks = with_tokens(docs).select(
+    toks = with_tokens(spread_scan(docs)).select(
         "doc_id", F.explode("__tokens").alias("token")
     )
     return (
@@ -545,23 +584,23 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             val = val * 256 + F.col(f"block{i}")
         return val
 
+    # posexplode of a flat long array (r15): the combo index as an
+    # array of 56 structs generated ~1s of interpreted projection per
+    # pass (the wide CreateStruct array defeats codegen) — emitting
+    # just the combo VALUES and reading the combo index from the
+    # position is the same rows 30% faster (1.19 -> 0.81 s measured at
+    # sf0.1, bit-identical).
     blocks = sh.select(
         "doc_id",
         sig.alias("sig"),
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(ci).alias("blk"), combo_key(c).alias("val")
-                    )
-                    for ci, c in enumerate(
-                        itertools.combinations(range(nb), m)
-                    )
+                    combo_key(c)
+                    for c in itertools.combinations(range(nb), m)
                 ]
             )
-        ).alias("b"),
-    ).select(
-        "doc_id", "sig", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+        ).alias("blk", "val"),
     )
     # Persist the index HASH-PARTITIONED ON THE JOIN KEY: both self-join
     # sides read co-located cache blocks exchange-free in the AQE final

@@ -383,7 +383,13 @@ def winnow_fingerprint_rows(docs: DataFrame) -> DataFrame:
                     {"doc_id": out_doc, "n_fp": out_n, "h": out_h}
                 )
 
-    return with_tokens(docs).select("doc_id", "__tokens").mapInPandas(
+    # spread the tiny scan BEFORE the kernel (r15, guide §2.5): the
+    # corpus parquet is single-row-group, so without this the md5
+    # winnow loop — the dominant cost of dedup_winnow_pairs — runs on
+    # 1-2 of the cores.
+    from gmall2021_flink_dw_spark.sources.batch import spread_scan
+
+    return with_tokens(spread_scan(docs)).select("doc_id", "__tokens").mapInPandas(
         fps, schema="doc_id long, n_fp bigint, h string"
     )
 

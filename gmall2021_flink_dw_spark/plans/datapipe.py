@@ -50,7 +50,7 @@ from gmall2021_flink_dw_spark.datapipe.text import (
 )
 from gmall2021_flink_dw_spark.registry import register
 from gmall2021_flink_dw_spark.session import ensure_workers_can_import
-from gmall2021_flink_dw_spark.sources.batch import load_table
+from gmall2021_flink_dw_spark.sources.batch import load_table, spread_scan
 
 
 @register(
@@ -271,6 +271,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df_frac=0.01,
         df_floor=5,
         exploded=exploded,
+        # corpus count from the cached per-doc grams table (one row per
+        # >=n-token doc) instead of a distinct over the exploded index
+        per_doc=grams,
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     lsh = minhash_lsh_pairs(docs, n=5, threshold=0.5, grams=grams)
     return _recall_checked(
@@ -317,8 +320,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tracked_persist(
         # project before persisting: caching the full row would pin
         # the raw text alongside the tokens (2x cache bytes) and
-        # widen every downstream exchange
-        with_tokens(load_table(spark, sf_dir, "documents")).select(
+        # widen every downstream exchange. Spread first (r15): the
+        # single-row-group scan would otherwise tokenize on 1 task AND
+        # leave a 1-partition cache that serializes every consumer.
+        with_tokens(spread_scan(load_table(spark, sf_dir, "documents"))).select(
             "doc_id", "__tokens"
         )
     )
@@ -1292,7 +1297,16 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus size as a lazy 1-row broadcast agg, HOT hashes (small by
     # construction) anti-joined away.
     df_counts = e.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
-    total = e.agg(F.count_distinct("doc_id").alias("__n"))
+    # r15: corpus count from the per-doc side — distinct doc_id in the
+    # winnow index is exactly the docs with >= 5 tokens (every such doc
+    # selects >= 1 fingerprint), and one size-filtered tokenize pass
+    # beats a distinct-shuffle over the ~50x larger exploded index
+    # (same change as ngram_jaccard_pairs).
+    total = (
+        with_tokens(spread_scan(load_table(spark, sf_dir, "documents")))
+        .filter(F.size("__tokens") >= 5)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
     hot = df_counts.crossJoin(F.broadcast(total)).filter(
         F.col("__df")
         > F.greatest(

@@ -76,6 +76,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Raise the parallelism of a tiny scan to the cluster's (guide
+    §2.5 "input skew": one unsplittable file -> repartition immediately
+    after the read).
+
+    The bench corpora are single-row-group parquet files, so every
+    scan stage has 1-2 tasks and the per-row-expensive stage-0 work
+    (regexp tokenize, shingle builds, Python kernels) runs on 1-2 of
+    the 32 cores (measured r15: the winnow kernel and the shingle
+    explode both ran 2-wide). Repartition round-robin to
+    defaultParallelism * factor when the scan is narrower than that —
+    scale-adaptive by construction: at real scale byte-based splits
+    (maxPartitionBytes) already exceed core count and this is a no-op.
+    The exchange moves the raw rows once; callers apply it only where
+    stage-0 per-row work dominates that one cheap move (the dedup/text
+    kernels), never blanket. Batch-only: streaming frames cannot
+    derive a partition count pre-execution."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each table as a temp view so SQL-surface queries (the
     reference's Flink-SQL apps, ``ProvinceStatsSqlApp.java:38-49``) run

@@ -3179,14 +3179,35 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mu = lp.agg(F.avg("lp").alias("mu"))
-    fluent = tracked_persist(
+    # One flagged pass over qc (r15, VERDICT r14 item 6): n_quality and
+    # n_fluent come from the SAME scan — previously each was its own
+    # groupBy over a separate (persisted) frame, so the funnel tail ran
+    # four per-source aggregations + three joins. The fluent frame is
+    # now consumed ONLY by the dedup stage, so its persist (a full
+    # corpus-sized cache write) is gone too. The epsilon-guarded gate
+    # is unchanged (r06 item 3); counts stay integer-exact.
+    # persisted (replacing the old fluent persist): TWO consumers — the
+    # per-source stats and the dedup stage — would otherwise re-run the
+    # qc-lp join per branch
+    flagged = tracked_persist(
         qc.select("doc_id", "source", "fp")
-        .join(lp, "doc_id")
+        .join(lp, "doc_id", "left")
         .crossJoin(F.broadcast(mu))
-        # epsilon-guarded gate, same form as text_perplexity (r06 item 3)
-        .filter(F.col("lp") >= F.col("mu") - F.lit(1e-9))
-        .select("doc_id", "source", "fp")
+        .select(
+            "doc_id",
+            "source",
+            "fp",
+            (
+                F.col("lp").isNotNull()
+                & (F.col("lp") >= F.col("mu") - F.lit(1e-9))
+            ).alias("__fluent"),
+        )
     )
+    q_stats = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_quality"),
+        F.sum(F.when(F.col("__fluent"), 1).otherwise(0)).alias("n_fluent"),
+    )
+    fluent = flagged.filter("__fluent").select("doc_id", "source", "fp")
     # survivor source = the MIN-doc_id survivor's source (min_by), never
     # first(): a fingerprint spanning sources would otherwise attribute
     # nondeterministically per run/layout
@@ -3194,15 +3215,15 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"),
         F.min_by("source", "doc_id").alias("source"),
     )
-
-    def per_source(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
-
     return (
-        per_source(docs, "n_input")
-        .join(per_source(qc, "n_quality"), "source", "left")
-        .join(per_source(fluent, "n_fluent"), "source", "left")
-        .join(per_source(uniq, "n_unique"), "source", "left")
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_input"))
+        .join(q_stats, "source", "left")
+        .join(
+            uniq.groupBy("source").agg(F.count(F.lit(1)).alias("n_unique")),
+            "source",
+            "left",
+        )
         .select(
             "source",
             "n_input",

@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from gmall2021_flink_dw_spark.cache import tracked_persist
 
 from gmall2021_flink_dw_spark.datapipe.text import shingle_hashes, with_tokens
-from gmall2021_flink_dw_spark.sources.batch import spread_scan
 
 # 31-bit Mersenne prime: keeps a*h + b within long range under Spark's
 # default ANSI overflow checking (a,b < 2^30, h < 2^31 -> product < 2^61).
@@ -94,7 +93,7 @@ def doc_shingles(docs: DataFrame, n: int = 5) -> DataFrame:
       projection collapse);
     - the input is spread to cluster parallelism first (the corpus
       scan is 1-2 tasks on a single-row-group file; guide §2.5)."""
-    toks = with_tokens(spread_scan(docs)).filter(F.size("__tokens") >= n)
+    toks = with_tokens(docs).filter(F.size("__tokens") >= n)
     g = toks.select(
         "doc_id", F.explode(F.array(shingle_hashes("__tokens", n))).alias("grams")
     )
@@ -171,7 +170,7 @@ def ngram_jaccard_pairs(
             # pass it; otherwise one extra size-filtered tokenize pass
             # over `docs` is still cheaper than the distinct.
             if per_doc is None:
-                per_doc = with_tokens(spread_scan(docs)).filter(
+                per_doc = with_tokens(docs).filter(
                     F.size("__tokens") >= n
                 )
             total = per_doc.agg(F.count(F.lit(1)).alias("__n"))
@@ -310,7 +309,7 @@ def shingle_grams(docs: DataFrame, n: int = 5) -> DataFrame:
     # collapse — measured with doc_shingles at 10x: 2.29 -> 1.04 s).
     # Input spread to cluster parallelism first (guide §2.5 tiny scan).
     return tracked_persist(
-        with_tokens(spread_scan(docs))
+        with_tokens(docs)
         .filter(F.size("__tokens") >= n)
         .select(
             "doc_id",
@@ -441,7 +440,7 @@ def _counted_token_hashes(docs: DataFrame) -> DataFrame:
     """(doc_id, cnt, __h): per-doc token occurrence counts with the
     token's xxhash64 — hashed AFTER the aggregation so the hash is
     materialized once per distinct (doc, token)."""
-    toks = with_tokens(spread_scan(docs)).select(
+    toks = with_tokens(docs).select(
         "doc_id", F.explode("__tokens").alias("token")
     )
     return (

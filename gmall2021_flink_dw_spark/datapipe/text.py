@@ -33,10 +33,20 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     operators — the regexp tokenizer is the dominant per-row cost in
     every text pipeline (see the projection-collapse note in `let`), and
     at 100 TB the pre-tokenized corpus is the intermediate you
-    checkpoint."""
+    checkpoint.
+
+    Tokenizing frames are spread to cluster parallelism first (r15,
+    guide §2.5): the bench corpora are single-row-group parquet, so
+    the tokenize stage — and every Arrow kernel and shingle build
+    fused after it — otherwise runs on 1-2 of the cores. with_tokens
+    is the one choke point every tokenizing batch query passes
+    through (this module, plans/datapipe.py, dedup.py; no streaming
+    consumer exists — spread_scan needs a batch frame)."""
     if "__tokens" in df.columns:
         return df
-    return df.withColumn("__tokens", tokenize(text_col))
+    from gmall2021_flink_dw_spark.sources.batch import spread_scan
+
+    return spread_scan(df).withColumn("__tokens", tokenize(text_col))
 
 
 def token_count(tokens: Column) -> Column:
@@ -387,9 +397,7 @@ def winnow_fingerprint_rows(docs: DataFrame) -> DataFrame:
     # corpus parquet is single-row-group, so without this the md5
     # winnow loop — the dominant cost of dedup_winnow_pairs — runs on
     # 1-2 of the cores.
-    from gmall2021_flink_dw_spark.sources.batch import spread_scan
-
-    return with_tokens(spread_scan(docs)).select("doc_id", "__tokens").mapInPandas(
+    return with_tokens(docs).select("doc_id", "__tokens").mapInPandas(
         fps, schema="doc_id long, n_fp bigint, h string"
     )
 

@@ -323,7 +323,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # widen every downstream exchange. Spread first (r15): the
         # single-row-group scan would otherwise tokenize on 1 task AND
         # leave a 1-partition cache that serializes every consumer.
-        with_tokens(spread_scan(load_table(spark, sf_dir, "documents"))).select(
+        with_tokens(load_table(spark, sf_dir, "documents")).select(
             "doc_id", "__tokens"
         )
     )
@@ -1303,7 +1303,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # beats a distinct-shuffle over the ~50x larger exploded index
     # (same change as ngram_jaccard_pairs).
     total = (
-        with_tokens(spread_scan(load_table(spark, sf_dir, "documents")))
+        with_tokens(load_table(spark, sf_dir, "documents"))
         .filter(F.size("__tokens") >= 5)
         .agg(F.count(F.lit(1)).alias("__n"))
     )

@@ -141,7 +141,10 @@ def brute_force_topk(
                 )
             yield pd.concat(outs, ignore_index=True)
 
-    part_top = base.select("vec_id", "emb").mapInPandas(
+    from gmall2021_flink_dw_spark.sources.batch import spread_scan
+
+    # spread the tiny scan before the scoring kernel (r15, guide §2.5)
+    part_top = spread_scan(base.select("vec_id", "emb")).mapInPandas(
         scan, "q_id long, vec_id long, sim double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -403,7 +406,10 @@ def ivf_topk(
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    part_top = base.select("vec_id", "emb").mapInPandas(
+    from gmall2021_flink_dw_spark.sources.batch import spread_scan
+
+    # spread the tiny scan before the scoring kernel (r15, guide §2.5)
+    part_top = spread_scan(base.select("vec_id", "emb")).mapInPandas(
         scan, "q_id long, vec_id long, sim double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -895,7 +901,10 @@ def pq_adc_topk(
                 )
             yield pd.concat(outs, ignore_index=True)
 
-    part_top = base.select("vec_id", "emb").mapInPandas(
+    from gmall2021_flink_dw_spark.sources.batch import spread_scan
+
+    # spread the tiny scan before the scoring kernel (r15, guide §2.5)
+    part_top = spread_scan(base.select("vec_id", "emb")).mapInPandas(
         scan, "q_id long, vec_id long, sim double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))

@@ -36,7 +36,16 @@ DECODED_SCHEMA = (
 
 def attach_payload(docs: DataFrame) -> DataFrame:
     """Ingest: text bytes stand in for a media blob; metadata columns are
-    the real pattern (payload + content hash + modality tag)."""
+    the real pattern (payload + content hash + modality tag).
+
+    Spread to cluster parallelism first (r15, guide §2.5): the corpus
+    parquet is single-row-group, so every decode/resize/embed kernel
+    downstream would otherwise run on 1-2 of the cores — the same
+    tiny-scan fix as with_tokens; at real media scale the byte-based
+    splits exceed core count and this is a no-op."""
+    from gmall2021_flink_dw_spark.sources.batch import spread_scan
+
+    docs = spread_scan(docs)
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),

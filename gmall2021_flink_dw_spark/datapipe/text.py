@@ -474,6 +474,10 @@ def doc_token_counts(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    # spread the tiny scan before the kernel (r15, guide §2.5 — the
+    # same single-row-group fix as with_tokens)
+    from gmall2021_flink_dw_spark.sources.batch import spread_scan
+
+    return spread_scan(docs.select("doc_id", "text")).mapInPandas(
         scan, "doc_id long, token string, tf long"
     )

@@ -76,25 +76,58 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Size-derived spread width: one round-robin partition per this many
+# input bytes (env-tunable). Calibrated by a 3-way intra-session A/B
+# (r15, plans/r15/dedup_skew_audit.txt + OPTIMIZATION_r15.md): the
+# per-row compute of the tokenize/shingle/kernel stages is ~1-2 MB/s
+# per core, so ~1 MB per task amortizes the exchange + task-scheduling
+# overhead at every SF tested — at sf0.1 (0.6 MB corpus) the policy
+# yields 1 partition = NO-OP (a forced 32-wide spread measured 10-65%
+# SLOWER there: exchange + 32-task scheduling beats nothing out of a
+# sub-second stage), at 10x (5.9 MB) it yields ~6 (captures the full
+# measured win: minhash 10.4->5.9 s, winnow 14.7->9.4, perplexity
+# 3.1->1.9 — parts=6 matched or beat parts=32 on all), and at real
+# scale byte-based splits (maxPartitionBytes) exceed core count and
+# the clamp makes it a no-op.
+SPREAD_BYTES_PER_PART = 1 << 20
+
+
 def spread_scan(df: DataFrame, factor: int = 1) -> DataFrame:
-    """Raise the parallelism of a tiny scan to the cluster's (guide
-    §2.5 "input skew": one unsplittable file -> repartition immediately
+    """Raise the parallelism of a tiny compute-heavy scan (guide §2.5
+    "input skew": one unsplittable file -> repartition immediately
     after the read).
 
     The bench corpora are single-row-group parquet files, so every
     scan stage has 1-2 tasks and the per-row-expensive stage-0 work
     (regexp tokenize, shingle builds, Python kernels) runs on 1-2 of
     the 32 cores (measured r15: the winnow kernel and the shingle
-    explode both ran 2-wide). Repartition round-robin to
-    defaultParallelism * factor when the scan is narrower than that —
-    scale-adaptive by construction: at real scale byte-based splits
-    (maxPartitionBytes) already exceed core count and this is a no-op.
-    The exchange moves the raw rows once; callers apply it only where
-    stage-0 per-row work dominates that one cheap move (the dedup/text
-    kernels), never blanket. Batch-only: streaming frames cannot
-    derive a partition count pre-execution."""
+    explode both ran 2-wide). Width is derived from INPUT SIZE
+    (~1 partition per MB, clamped to cluster parallelism — see
+    SPREAD_BYTES_PER_PART for the calibration), so tiny inputs stay
+    exchange-free and real-scale scans are untouched. Batch-only:
+    streaming frames cannot enumerate input files pre-execution."""
     sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * factor
+    # parameterised (optimization-round rule: scale-dependent settings
+    # stay conf/env-tunable): SPARK_GRAFT_SPREAD_PARTS forces a width
+    # (0 disables); SPARK_GRAFT_SPREAD_MB re-tunes bytes-per-partition.
+    env = os.environ.get("SPARK_GRAFT_SPREAD_PARTS")
+    if env is not None:
+        target = int(env)
+    else:
+        per_part = int(
+            float(os.environ.get("SPARK_GRAFT_SPREAD_MB", "1"))
+            * SPREAD_BYTES_PER_PART
+        )
+        try:
+            total = 0
+            for uri in df.inputFiles():
+                path = uri[7:] if uri.startswith("file:") else uri
+                total += os.path.getsize(path)
+        except Exception:
+            return df
+        target = min(sc.defaultParallelism * factor, total // per_part)
+    if target <= 1:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
